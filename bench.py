@@ -1,0 +1,88 @@
+"""Headline benchmark (BASELINE.json metric): n=50k kernel-matrix build +
+Cholesky wall-clock on one chip, float32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is the north-star budget ratio: BASELINE.json targets exact
+GP fit+predict at n=100k in < 60 s on a pod slice; the single-chip headline
+op here is the n=50k covariance build + factorization, so we report
+60 / measured_seconds (higher is better; >1 means inside budget).
+
+The reference publishes no numbers (BASELINE.md), so there is no reference
+wall-clock to normalize against; its asymptotic cost for this op is
+O(n^2 d) kernel evals + O(n^3/3) Cholesky FLOPs on one CPU thread in f64.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_and_factor_fn():
+    from friedrich_tpu.ops.cholesky import cholesky
+    from friedrich_tpu.ops.covariance import cross_covariance
+
+    def run(kernel, x, noise):
+        k = cross_covariance(kernel, x, x)
+        k = k + (noise * noise) * jnp.eye(k.shape[0], dtype=k.dtype)
+        l_mat, ok = cholesky(k)
+        # cheap scalar that depends on the whole factor
+        return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
+
+    return jax.jit(run)
+
+
+def bench_once(n: int, d: int = 8, repeats: int = 3) -> float:
+    from friedrich_tpu.kernels import SquaredExp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)), dtype=jnp.float32)
+    # well-conditioned setup for f32 at large n (short lengthscale, unit
+    # noise): the benchmark measures build+factor throughput, and ill
+    # conditioning would make f32 pivots marginal at n=50k
+    kernel = SquaredExp(
+        ls=jnp.asarray(0.5, jnp.float32), ampl=jnp.asarray(1.0, jnp.float32)
+    )
+    noise = jnp.asarray(1.0, jnp.float32)
+    run = build_and_factor_fn()
+    out, ok = run(kernel, x, noise)  # compile + warm up
+    jax.block_until_ready(out)
+    if not bool(ok):
+        raise RuntimeError("cholesky failed in benchmark")
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out, ok = run(kernel, x, noise)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main() -> None:
+    n = 50_000
+    try:
+        secs = bench_once(n)
+    except Exception as e:  # noqa: BLE001 — fall back to a size that fits
+        print(f"n=50k failed ({type(e).__name__}); falling back", file=sys.stderr)
+        n = 32_768
+        secs = bench_once(n)
+    print(
+        json.dumps(
+            {
+                "metric": f"n={n} kernel-build+Cholesky wall-clock (1 chip, f32)",
+                "value": round(secs, 4),
+                "unit": "s",
+                "vs_baseline": round(60.0 / secs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""MCMC diagnostics: split R-hat and effective sample size.
+
+Standard definitions (Gelman et al., BDA3 / Vehtari et al. 2021 split-R^):
+computed per parameter over (num_samples, chains, dim) draws.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def split_chains(samples: Array) -> Array:
+    """(s, c, d) -> (s//2, 2c, d): each chain split in half."""
+    s = samples.shape[0] - (samples.shape[0] % 2)
+    first, second = samples[: s // 2], samples[s // 2 : s]
+    return jnp.concatenate([first, second], axis=1)
+
+
+def rhat(samples: Array) -> Array:
+    """Split-R-hat per dimension. Values near 1.0 indicate convergence."""
+    x = split_chains(samples)
+    s, c, _ = x.shape
+    chain_mean = jnp.mean(x, axis=0)  # (c, d)
+    chain_var = jnp.var(x, axis=0, ddof=1)  # (c, d)
+    between = s * jnp.var(chain_mean, axis=0, ddof=1)  # (d,)
+    within = jnp.mean(chain_var, axis=0)  # (d,)
+    var_est = (s - 1) / s * within + between / s
+    return jnp.sqrt(var_est / within)
+
+
+def ess(samples: Array, max_lag: int = 100) -> Array:
+    """Bulk effective sample size per dimension (Geyer initial positive
+    sequence, truncated at ``max_lag``)."""
+    x = split_chains(samples)
+    s, c, d = x.shape
+    x = x - jnp.mean(x, axis=0, keepdims=True)
+    max_lag = min(max_lag, s - 1)
+
+    def autocov(lag):
+        prod = x[: s - lag] * x[lag:]
+        return jnp.mean(jnp.sum(prod, axis=0) / s, axis=0)  # (d,)
+
+    lags = [autocov(t) for t in range(max_lag)]
+    acov = jnp.stack(lags, axis=0)  # (max_lag, d)
+    rho = acov / acov[0]
+    # Geyer initial positive sequence: tau = 2 * sum_k P_k - 1 over
+    # consecutive pairs P_k = rho_{2k} + rho_{2k+1} while P_k > 0
+    m = (max_lag // 2) * 2
+    pair = rho[0:m:2] + rho[1:m:2]  # (m/2, d); P_0 = 1 + rho_1
+    pos = jnp.cumprod(pair > 0, axis=0).astype(rho.dtype)
+    tau = 2.0 * jnp.sum(pair * pos, axis=0) - 1.0
+    tau = jnp.maximum(tau, 1e-3)
+    return s * c / tau
+
+
+def summary(samples: Array) -> dict:
+    """Posterior summary dict (mean, std, R-hat, ESS) per dimension."""
+    return {
+        "mean": jnp.mean(samples, axis=(0, 1)),
+        "std": jnp.std(samples, axis=(0, 1)),
+        "rhat": rhat(samples),
+        "ess": ess(samples),
+    }

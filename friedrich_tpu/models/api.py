@@ -1,0 +1,240 @@
+"""User-facing GaussianProcess class (L3 API).
+
+Object-oriented facade over the functional core in ``models/gp.py``,
+mirroring the reference's public surface (``gaussian_process/mod.rs``):
+``default``, ``builder``, ``new``, ``predict``, ``predict_variance``,
+``predict_mean_variance``, ``predict_covariance``, ``sample_at``,
+``add_samples``, ``likelihood``, ``fit_parameters`` — with the same
+polymorphic input/output behavior (see ``conversion.py``).
+
+The wrapper owns an immutable :class:`GPState` and swaps it on mutation;
+all heavy computation is jitted with the state as a pytree argument, so
+hyperparameter/data updates never trigger recompilation (capacity growth is
+the only recompile boundary, amortized by the 1.5x policy).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    DEFAULT_CONVERGENCE_FRACTION,
+    DEFAULT_MAX_ITER,
+    DEFAULT_MAX_TIME,
+    GROWTH_FACTOR,
+)
+from ..conversion import as_input_matrix, as_output_vector
+from ..utils.errors import CholeskyError, ConfigError, ShapeError
+from . import gp as core
+from .multivariate_normal import MultivariateNormal
+from .optimizer import fit_parameters as _fit_parameters
+
+Array = jnp.ndarray
+
+# Module-level jitted entry points (shared across all GP instances).
+_predict_mean = jax.jit(core.predict_mean)
+_predict_variance = jax.jit(core.predict_variance)
+_predict_mean_variance = jax.jit(core.predict_mean_variance)
+_predict_covariance = jax.jit(core.predict_covariance)
+_posterior = jax.jit(core.posterior)
+_likelihood = jax.jit(core.likelihood)
+_lml = jax.jit(core.log_marginal_likelihood)
+_add_samples = jax.jit(core.add_samples_padded)
+
+
+class GaussianProcess:
+    """A trained Gaussian process (reference ``mod.rs:59-79``)."""
+
+    def __init__(self, state: core.GPState):
+        self._state = state
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def default(cls, training_inputs, training_outputs) -> "GaussianProcess":
+        """Gaussian kernel + constant prior, both fitted
+        (``mod.rs:96-102``)."""
+        return (
+            cls.builder(training_inputs, training_outputs)
+            .fit_kernel()
+            .fit_prior()
+            .train()
+        )
+
+    @classmethod
+    def builder(cls, training_inputs, training_outputs):
+        """Start a builder (``mod.rs:129-135``)."""
+        from .builder import GaussianProcessBuilder
+
+        return GaussianProcessBuilder(training_inputs, training_outputs)
+
+    @classmethod
+    def new(
+        cls,
+        prior,
+        kernel,
+        noise: float,
+        cholesky_epsilon: Optional[float],
+        training_inputs,
+        training_outputs,
+        method: str = "gram",
+        capacity: Optional[int] = None,
+    ) -> "GaussianProcess":
+        """Raw constructor (``mod.rs:142-167``)."""
+        if noise < 0:
+            raise ConfigError(
+                f"The noise parameter should be non-negative but we tried to "
+                f"set it to {noise}"
+            )
+        if cholesky_epsilon is not None and cholesky_epsilon <= 0:
+            raise ConfigError("cholesky_epsilon must be strictly positive")
+        x, _ = as_input_matrix(training_inputs)
+        y = as_output_vector(training_outputs)
+        if x.shape[0] != y.shape[0]:
+            raise ShapeError(
+                f"{x.shape[0]} input rows vs {y.shape[0]} outputs"
+            )
+        state, ok = core.make_state(
+            kernel, prior, noise, x, y, eps=cholesky_epsilon, method=method, cap=capacity
+        )
+        if not bool(ok):
+            raise CholeskyError()
+        return cls(state)
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def state(self) -> core.GPState:
+        return self._state
+
+    @property
+    def kernel(self):
+        return self._state.kernel
+
+    @property
+    def prior(self):
+        return self._state.prior
+
+    @property
+    def noise(self) -> float:
+        return float(self._state.noise)
+
+    @property
+    def cholesky_epsilon(self) -> Optional[float]:
+        return self._state.eps
+
+    @property
+    def num_samples(self) -> int:
+        return int(self._state.n)
+
+    # -- prediction ----------------------------------------------------------
+
+    def _query(self, inputs) -> tuple[Array, Any]:
+        xq, adapter = as_input_matrix(inputs, dtype=self._state.x.dtype)
+        if xq.shape[1] != self._state.input_dim:
+            raise ShapeError(
+                f"query dim {xq.shape[1]} != training dim {self._state.input_dim}"
+            )
+        return xq, adapter
+
+    def predict(self, inputs):
+        """Posterior mean (``mod.rs:226-244``)."""
+        xq, adapter = self._query(inputs)
+        return adapter.vector(_predict_mean(self._state, xq))
+
+    def predict_variance(self, inputs):
+        """Latent posterior variance (``mod.rs:248-273``)."""
+        xq, adapter = self._query(inputs)
+        return adapter.vector(_predict_variance(self._state, xq))
+
+    def predict_mean_variance(self, inputs):
+        """Shared-weights (mean, variance) (``mod.rs:290-326``)."""
+        xq, adapter = self._query(inputs)
+        mean, var = _predict_mean_variance(self._state, xq)
+        return adapter.pair(mean, var)
+
+    def predict_covariance(self, inputs) -> Array:
+        """Full posterior covariance matrix (``mod.rs:329-350``)."""
+        xq, _ = self._query(inputs)
+        return _predict_covariance(self._state, xq)
+
+    def sample_at(self, inputs) -> MultivariateNormal:
+        """Posterior sampler at the given points (``mod.rs:371-392``)."""
+        xq, adapter = self._query(inputs)
+        mean, cov = _posterior(self._state, xq)
+        return MultivariateNormal(mean, cov, adapter)
+
+    # -- scores ---------------------------------------------------------------
+
+    def likelihood(self) -> float:
+        """The reference's approximate likelihood (``mod.rs:196-220``)."""
+        return float(_likelihood(self._state))
+
+    def log_marginal_likelihood(self) -> float:
+        """Exact log marginal likelihood (corrected variant)."""
+        return float(_lml(self._state))
+
+    # -- mutation --------------------------------------------------------------
+
+    def add_samples(self, inputs, outputs) -> None:
+        """Incremental O(n^2 k) update (``mod.rs:173-190``)."""
+        x_new, _ = as_input_matrix(inputs, dtype=self._state.x.dtype)
+        y_new = as_output_vector(outputs)
+        if x_new.shape[0] != y_new.shape[0]:
+            raise ShapeError("inputs/outputs row mismatch")
+        if x_new.shape[1] != self._state.input_dim:
+            raise ShapeError(
+                f"new sample dim {x_new.shape[1]} != training dim "
+                f"{self._state.input_dim}"
+            )
+        n = int(self._state.n)
+        k = x_new.shape[0]
+        cap = self._state.capacity
+        if n + k > cap:
+            # amortized growth, extendable_matrix.rs:38 (x1.5 policy)
+            new_cap = max(n + k, math.ceil(cap * GROWTH_FACTOR))
+            self._state = core.grow_capacity(self._state, new_cap)
+        self._state = _add_samples(self._state, x_new, y_new.astype(self._state.resid.dtype))
+        if not bool(jnp.all(jnp.isfinite(jnp.diagonal(self._state.l)))):
+            raise CholeskyError(
+                "add_samples: rank-update of the Cholesky factor failed "
+                "(new points make the covariance non-PSD); consider setting "
+                "`cholesky_epsilon` or increasing the noise."
+            )
+
+    def fit_parameters(
+        self,
+        fit_prior: bool = True,
+        fit_kernel: bool = True,
+        max_iter: int = DEFAULT_MAX_ITER,
+        convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
+        max_time: float = DEFAULT_MAX_TIME,
+    ) -> None:
+        """Refit prior/kernel/noise (``mod.rs:406-445``)."""
+        self._state = _fit_parameters(
+            self._state,
+            fit_prior=fit_prior,
+            fit_kernel=fit_kernel,
+            max_iter=max_iter,
+            convergence_fraction=convergence_fraction,
+            max_time=max_time,
+        )
+
+    # -- persistence -------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Serialize the full trained model (reference: serde derives,
+        ``mod.rs:58``). Round-trips to bit-identical predictions."""
+        from ..utils.serialization import save_gp
+
+        save_gp(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "GaussianProcess":
+        from ..utils.serialization import load_gp
+
+        return load_gp(path)

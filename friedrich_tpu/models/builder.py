@@ -1,0 +1,136 @@
+"""Fluent builder for GaussianProcess configuration.
+
+Mirrors the reference's ``GaussianProcessBuilder``
+(``gaussian_process/builder.rs:35-215``) including its defaults:
+
+- ConstantPrior(0), Gaussian kernel (``builder.rs:71-72``);
+- noise = 10% of the output standard deviation (``builder.rs:73``);
+- max_iter=100, convergence_fraction=0.05, max_time=1h
+  (``builder.rs:76-78``);
+- no cholesky_epsilon (``builder.rs:83``);
+- parameters are NOT fitted unless ``fit_kernel()`` / ``fit_prior()`` are
+  called (``builder.rs:74-75``).
+
+``train()`` runs the kernel heuristic fit first (when fitting was
+requested), builds the GP, then runs ``fit_parameters``
+(``builder.rs:189-214``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import (
+    DEFAULT_CONVERGENCE_FRACTION,
+    DEFAULT_MAX_ITER,
+    DEFAULT_MAX_TIME,
+)
+from ..conversion import as_input_matrix, as_output_vector
+from ..kernels import Gaussian
+from ..priors import ConstantPrior
+from ..utils.errors import ConfigError
+from .api import GaussianProcess
+
+
+class GaussianProcessBuilder:
+    def __init__(self, training_inputs, training_outputs):
+        self._x, _ = as_input_matrix(training_inputs)
+        self._y = as_output_vector(training_outputs)
+        self._prior = ConstantPrior.default(self._x.shape[1])
+        self._kernel = Gaussian()
+        # 10% of output std by default (builder.rs:73); population variance.
+        self._noise = 0.1 * float(jnp.sqrt(jnp.var(self._y)))
+        self._cholesky_epsilon: Optional[float] = None
+        self._should_fit_kernel = False
+        self._should_fit_prior = False
+        self._max_iter = DEFAULT_MAX_ITER
+        self._convergence_fraction = DEFAULT_CONVERGENCE_FRACTION
+        self._max_time = DEFAULT_MAX_TIME
+        self._method = "gram"
+        self._capacity: Optional[int] = None
+
+    # -- setters (builder.rs:102-182) ----------------------------------------
+
+    def set_prior(self, prior) -> "GaussianProcessBuilder":
+        self._prior = prior
+        return self
+
+    def set_noise(self, noise: float) -> "GaussianProcessBuilder":
+        if noise < 0:
+            raise ConfigError(
+                f"The noise parameter should be non-negative but we tried to "
+                f"set it to {noise}"
+            )
+        self._noise = noise
+        return self
+
+    def set_kernel(self, kernel) -> "GaussianProcessBuilder":
+        self._kernel = kernel
+        return self
+
+    def set_cholesky_epsilon(self, eps: Optional[float]) -> "GaussianProcessBuilder":
+        if eps is not None and eps <= 0:
+            raise ConfigError("cholesky_epsilon must be strictly positive")
+        self._cholesky_epsilon = eps
+        return self
+
+    def set_fit_parameters(
+        self, max_iter: int, convergence_fraction: float
+    ) -> "GaussianProcessBuilder":
+        self._max_iter = max_iter
+        self._convergence_fraction = convergence_fraction
+        return self
+
+    def set_max_time(self, max_time_seconds: float) -> "GaussianProcessBuilder":
+        self._max_time = max_time_seconds
+        return self
+
+    def fit_kernel(self) -> "GaussianProcessBuilder":
+        self._should_fit_kernel = True
+        return self
+
+    def fit_prior(self) -> "GaussianProcessBuilder":
+        self._should_fit_prior = True
+        return self
+
+    # -- TPU-native extensions -------------------------------------------------
+
+    def set_distance_method(self, method: str) -> "GaussianProcessBuilder":
+        """'gram' (MXU GEMM identity, default) or 'direct' (broadcast diff)."""
+        if method not in ("gram", "direct"):
+            raise ConfigError(f"unknown distance method {method!r}")
+        self._method = method
+        return self
+
+    def set_capacity(self, capacity: int) -> "GaussianProcessBuilder":
+        """Pre-reserve padded capacity for incremental add_samples."""
+        self._capacity = capacity
+        return self
+
+    # -- train (builder.rs:189-214) ----------------------------------------------
+
+    def train(self) -> GaussianProcess:
+        kernel = self._kernel
+        if self._should_fit_kernel:
+            kernel = kernel.heuristic_fit(self._x, self._y)
+        gp = GaussianProcess.new(
+            self._prior,
+            kernel,
+            self._noise,
+            self._cholesky_epsilon,
+            self._x,
+            self._y,
+            method=self._method,
+            capacity=self._capacity,
+        )
+        if self._should_fit_prior or self._should_fit_kernel:
+            gp.fit_parameters(
+                fit_prior=self._should_fit_prior,
+                fit_kernel=self._should_fit_kernel,
+                max_iter=self._max_iter,
+                convergence_fraction=self._convergence_fraction,
+                max_time=self._max_time,
+            )
+        return gp

@@ -1,0 +1,265 @@
+"""Functional GP core: the model state pytree and pure jittable operations.
+
+TPU-native redesign of the reference's ``GaussianProcess`` struct and methods
+(``gaussian_process/mod.rs:59-446``). The model is an immutable pytree
+:class:`GPState`; every operation is a pure function of the state, so the
+whole library composes with ``jit`` / ``vmap`` / ``shard_map``.
+
+**Static shapes, dynamic n.** Training buffers are capacity-padded (the
+analogue of the reference's ``EMatrix``/``EVector`` amortized x1.5 growth,
+``extendable_matrix.rs:15-112``) and the live count ``n`` is a traced scalar.
+The covariance is padded with the identity outside the live block (see
+``ops/covariance.py``), which makes Cholesky, triangular solves, and all
+reductions exact without recompilation as samples are added.
+
+State contents mirror the reference struct (``mod.rs:59-79``): prior, kernel,
+noise, cholesky_epsilon, training inputs, training outputs **stored as prior
+residuals** (``mod.rs:156``), and the Cholesky factor of the training
+covariance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from ..ops.cholesky import cholesky_append_padded, factor
+from ..ops.covariance import (
+    cross_covariance,
+    cross_covariance_train_padded,
+    kernel_diag,
+    train_covariance_padded,
+)
+
+Array = jnp.ndarray
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+@struct.dataclass
+class GPState:
+    """Immutable GP model state (padded, jit-stable).
+
+    Reference struct: ``gaussian_process/mod.rs:59-79``.
+    """
+
+    x: Array  # (cap, d) padded training inputs
+    resid: Array  # (cap,) padded prior residuals y - prior(x)
+    l: Array  # (cap, cap) padded Cholesky factor (identity in dead block)
+    n: Array  # () int32 live row count
+    noise: Any  # () observation-noise std
+    kernel: Any  # kernel pytree
+    prior: Any  # prior pytree
+    # -- static (non-pytree) config --
+    eps: Optional[float] = struct.field(pytree_node=False, default=None)
+    method: str = struct.field(pytree_node=False, default="gram")
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def input_dim(self) -> int:
+        return self.x.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+
+def pad_capacity(x: Array, y_resid: Array, cap: int) -> tuple[Array, Array]:
+    """Zero-pad live data to a static capacity."""
+    n, d = x.shape
+    x_pad = jnp.zeros((cap, d), dtype=x.dtype).at[:n].set(x)
+    r_pad = jnp.zeros((cap,), dtype=y_resid.dtype).at[:n].set(y_resid)
+    return x_pad, r_pad
+
+
+def make_state(
+    kernel,
+    prior,
+    noise,
+    x: Array,
+    y: Array,
+    eps: Optional[float] = None,
+    method: str = "gram",
+    cap: Optional[int] = None,
+) -> tuple[GPState, Array]:
+    """Build a trained state from live data (``GaussianProcess::new``,
+    ``mod.rs:142-167``): residualize against the prior, build the padded
+    covariance, factor it.
+
+    Returns ``(state, ok)``; ``ok`` is False if the factorization produced
+    non-finite values (caller raises ``CholeskyError``).
+    """
+    n, _ = x.shape
+    cap = cap or n
+    resid = y - prior.mean(x)
+    x_pad, r_pad = pad_capacity(x, resid, cap)
+    n_arr = jnp.asarray(n, dtype=jnp.int32)
+    k_pad = train_covariance_padded(kernel, x_pad, n_arr, noise, method=method)
+    l_pad, ok = factor(k_pad, eps)
+    state = GPState(
+        x=x_pad,
+        resid=r_pad,
+        l=l_pad,
+        n=n_arr,
+        noise=jnp.asarray(noise, dtype=x.dtype),
+        kernel=kernel,
+        prior=prior,
+        eps=eps,
+        method=method,
+    )
+    return state, ok
+
+
+def rebuild_cholesky(state: GPState) -> tuple[GPState, Array]:
+    """Re-factor the training covariance for the current hyperparameters
+    (the per-iteration rebuild at ``optimizer.rs:133-136,267-270``)."""
+    k_pad = train_covariance_padded(
+        state.kernel, state.x, state.n, state.noise, method=state.method
+    )
+    l_pad, ok = factor(k_pad, state.eps)
+    return state.replace(l=l_pad), ok
+
+
+def grow_capacity(state: GPState, new_cap: int) -> GPState:
+    """Host-side capacity growth (recompile boundary): zero-pad data, extend
+    the Cholesky factor with the identity. Mirrors ``EMatrix`` x1.5 growth
+    (``extendable_matrix.rs:30-49``)."""
+    cap = state.capacity
+    if new_cap <= cap:
+        return state
+    d = state.input_dim
+    x = jnp.zeros((new_cap, d), dtype=state.x.dtype).at[:cap].set(state.x)
+    r = jnp.zeros((new_cap,), dtype=state.resid.dtype).at[:cap].set(state.resid)
+    l_new = jnp.eye(new_cap, dtype=state.l.dtype).at[:cap, :cap].set(state.l)
+    return state.replace(x=x, resid=r, l=l_new)
+
+
+# ---------------------------------------------------------------------------
+# Incremental update (``add_samples``, ``mod.rs:173-190``)
+# ---------------------------------------------------------------------------
+
+
+def add_samples_padded(state: GPState, x_new: Array, y_new: Array) -> GPState:
+    """Append ``k`` samples in O(n^2 k) via the blocked Cholesky append.
+
+    Requires capacity >= n + k (the OO wrapper grows first). Matches
+    ``add_samples`` (``mod.rs:173-190``): residualize against the CURRENT
+    prior, grow buffers, rank-update the factor.
+    """
+    k = x_new.shape[0]
+    r_new = y_new - state.prior.mean(x_new)
+    zero = jnp.zeros_like(state.n)
+    x_pad = lax.dynamic_update_slice(state.x, x_new, (state.n, zero))
+    r_pad = lax.dynamic_update_slice(state.resid, r_new, (state.n,))
+    l_pad = cholesky_append_padded(
+        state.l,
+        state.kernel,
+        x_pad,
+        state.n,
+        k,
+        state.noise,
+        eps=state.eps,
+        method=state.method,
+    )
+    return state.replace(x=x_pad, resid=r_pad, l=l_pad, n=state.n + k)
+
+
+# ---------------------------------------------------------------------------
+# Prediction (``mod.rs:226-350``)
+# ---------------------------------------------------------------------------
+
+
+def _train_cross(state: GPState, xq: Array) -> Array:
+    return cross_covariance_train_padded(
+        state.kernel, state.x, state.n, xq, method=state.method
+    )
+
+
+def predict_mean(state: GPState, xq: Array) -> Array:
+    """Posterior mean: ``prior + K(xq, X) K^-1 resid`` (``mod.rs:226-244``)."""
+    c = _train_cross(state, xq)
+    w = cho_solve((state.l, True), c)
+    return state.prior.mean(xq) + w.T @ state.resid
+
+
+def predict_variance(state: GPState, xq: Array) -> Array:
+    """Latent predictive variance — observation noise NOT added back,
+    matching ``mod.rs:248-273`` (see ``:266-269``)."""
+    c = _train_cross(state, xq)
+    kl = solve_triangular(state.l, c, lower=True)
+    base = kernel_diag(state.kernel, xq)
+    return base - jnp.sum(kl * kl, axis=0)
+
+
+def predict_mean_variance(state: GPState, xq: Array) -> tuple[Array, Array]:
+    """Shared-weights mean+variance (``mod.rs:290-326``)."""
+    c = _train_cross(state, xq)
+    w = cho_solve((state.l, True), c)
+    mean = state.prior.mean(xq) + w.T @ state.resid
+    base = kernel_diag(state.kernel, xq)
+    var = base - jnp.sum(c * w, axis=0)  # column-dot form of mod.rs:314-319
+    return mean, var
+
+
+def predict_covariance(state: GPState, xq: Array) -> Array:
+    """Full posterior covariance ``Kqq - (L^-1 Kq)^T (L^-1 Kq)``
+    (``mod.rs:329-350``)."""
+    c = _train_cross(state, xq)
+    kl = solve_triangular(state.l, c, lower=True)
+    kqq = cross_covariance(state.kernel, xq, xq, method=state.method)
+    return kqq - kl.T @ kl
+
+
+def posterior(state: GPState, xq: Array) -> tuple[Array, Array]:
+    """(mean, covariance) of the posterior at ``xq`` — the ``sample_at``
+    computation (``mod.rs:371-392``), which uses ``Kq^T K^-1 Kq`` rather
+    than the triangular form."""
+    c = _train_cross(state, xq)
+    w = cho_solve((state.l, True), c)
+    kqq = cross_covariance(state.kernel, xq, xq, method=state.method)
+    cov = kqq - c.T @ w
+    mean = state.prior.mean(xq) + w.T @ state.resid
+    return mean, cov
+
+
+# ---------------------------------------------------------------------------
+# Model-selection scores (``mod.rs:196-220``)
+# ---------------------------------------------------------------------------
+
+
+def likelihood(state: GPState) -> Array:
+    """The reference's ``likelihood()`` — REPLICATED APPROXIMATION.
+
+    Its complexity penalty sums ``ln|k(x_i, x_i) + noise^2|`` over training
+    points (``mod.rs:208-213``), which is NOT the true log-determinant; the
+    exact score is :func:`log_marginal_likelihood`. Replicated verbatim for
+    parity (``mod.rs:196-220``).
+    """
+    ol = solve_triangular(state.l, state.resid, lower=True)
+    data_fit = jnp.sum(ol * ol)
+    diag = kernel_diag(state.kernel, state.x) + state.noise * state.noise
+    live = jnp.arange(state.capacity) < state.n
+    complexity = jnp.sum(jnp.where(live, jnp.log(jnp.abs(diag)), 0.0))
+    norm = state.n.astype(diag.dtype) * LOG_2PI
+    return -(data_fit + complexity + norm) / 2.0
+
+
+def log_marginal_likelihood(state: GPState) -> Array:
+    """Exact log marginal likelihood (corrected variant):
+    ``-1/2 (r^T K^-1 r + ln|K| + n ln 2pi)`` with ``ln|K| = 2 sum ln L_ii``."""
+    ol = solve_triangular(state.l, state.resid, lower=True)
+    data_fit = jnp.sum(ol * ol)
+    diag_l = jnp.diagonal(state.l)
+    live = jnp.arange(state.capacity) < state.n
+    logdet = 2.0 * jnp.sum(jnp.where(live, jnp.log(diag_l), 0.0))
+    norm = state.n.astype(data_fit.dtype) * LOG_2PI
+    return -(data_fit + logdet + norm) / 2.0

@@ -1,0 +1,167 @@
+"""Cholesky factorizations: fast XLA path, epsilon-substitute path, and the
+blocked rank-k append for incremental training.
+
+Replaces the nalgebra calls in the reference:
+
+- ``covmatrix.cholesky()`` (``algebra/mod.rs:90``) -> :func:`cholesky`
+  (XLA's native factorization + a non-finite failure flag instead of a
+  panic);
+- ``Cholesky::new_with_substitute`` (``algebra/mod.rs:83``) ->
+  :func:`cholesky_with_substitute`, a blocked right-looking factorization
+  whose inner unblocked step substitutes ``eps`` for any pivot that is not
+  strictly positive — per-pivot substitution semantics matching nalgebra
+  ("used in place of the diagonal term if and only if the decomposition
+  would otherwise fail", ``gaussian_process/mod.rs:67-73``). The bulk of
+  the work is MXU GEMM (panel solve + trailing SYRK update); only the
+  128-wide diagonal blocks run the scalar pivot loop.
+- ``Cholesky::insert_column`` one column at a time (``algebra/mod.rs:124``,
+  O(n^2) each) -> :func:`cholesky_append_padded`, a single blocked rank-k
+  append: ``L21 = L^-1 K12`` (one triangular solve) and
+  ``L22 = chol(K22 - L21^T L21)`` — same O(n^2 k) total cost, one MXU pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from .covariance import cross_covariance, cross_covariance_train_padded
+
+Array = jnp.ndarray
+
+DEFAULT_BLOCK = 128
+
+
+def cholesky(k_mat: Array) -> tuple[Array, Array]:
+    """Fast path: XLA-native Cholesky + an ``ok`` flag (finite diagonal).
+
+    The caller raises :class:`~friedrich_tpu.utils.errors.CholeskyError` on
+    a False flag — structured error instead of the reference's panic
+    (``algebra/mod.rs:90``).
+    """
+    l_mat = jnp.linalg.cholesky(k_mat)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+    return l_mat, ok
+
+
+def _unblocked_cholesky_substitute(a: Array, eps) -> Array:
+    """Right-looking unblocked Cholesky of a small block with per-pivot
+    epsilon substitution (nalgebra ``new_with_substitute`` semantics)."""
+    b = a.shape[0]
+    idx = jnp.arange(b)
+
+    def col_step(j, m):
+        d = m[j, j]
+        d_eff = jnp.where(d > 0, d, eps)
+        ljj = jnp.sqrt(d_eff)
+        below = jnp.where(idx > j, m[:, j] / ljj, 0.0)
+        newcol = below + jnp.where(idx == j, ljj, 0.0)
+        m = m.at[:, j].set(newcol)
+        m = m - jnp.outer(below, below)
+        return m
+
+    m = lax.fori_loop(0, b, col_step, a)
+    return jnp.tril(m)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def cholesky_with_substitute(k_mat: Array, eps, block: int = DEFAULT_BLOCK) -> Array:
+    """Blocked right-looking Cholesky with epsilon pivot substitution.
+
+    Each panel step: (1) factor the diagonal block with the substituting
+    unblocked routine, (2) TRSM the full column strip against L11^T (MXU),
+    (3) rank-``block`` SYRK trailing update (MXU). Pivot-level substitution
+    is preserved because failures only surface in step (1).
+    """
+    n = k_mat.shape[0]
+    nb = -(-n // block) * block  # round up to a multiple of the block size
+    if nb != n:
+        # identity padding keeps the factorization exact in the live block
+        pad = nb - n
+        k_mat = jnp.block(
+            [
+                [k_mat, jnp.zeros((n, pad), k_mat.dtype)],
+                [jnp.zeros((pad, n), k_mat.dtype), jnp.eye(pad, dtype=k_mat.dtype)],
+            ]
+        )
+    num_panels = nb // block
+    rows = jnp.arange(nb)[:, None]
+
+    def panel_step(t, m):
+        j0 = t * block
+        strip = lax.dynamic_slice(m, (0, j0), (nb, block))
+        diag = lax.dynamic_slice(strip, (j0, 0), (block, block))
+        l11 = _unblocked_cholesky_substitute(diag, eps)
+        # full-strip TRSM: S = strip @ L11^-T  (rows above j0 discarded below)
+        s = solve_triangular(l11, strip.T, lower=True).T
+        strip_new = lax.dynamic_update_slice(s, l11, (j0, 0))
+        strip_new = jnp.where(rows < j0, 0.0, strip_new)
+        below = jnp.where(rows < j0 + block, 0.0, strip_new)
+        m = lax.dynamic_update_slice(m, strip_new, (0, j0))
+        m = m - jnp.dot(below, below.T, preferred_element_type=m.dtype)
+        return m
+
+    l_mat = lax.fori_loop(0, num_panels, panel_step, k_mat)
+    l_mat = jnp.tril(l_mat)
+    return l_mat[:n, :n] if nb != n else l_mat
+
+
+def factor(k_mat: Array, eps=None, block: int = DEFAULT_BLOCK) -> tuple[Array, Array]:
+    """Dispatch: plain Cholesky when ``eps`` is None, substituting blocked
+    factorization otherwise (mirrors the two arms of
+    ``make_cholesky_cov_matrix``, ``algebra/mod.rs:81-91``).
+
+    Returns ``(L, ok)``; with substitution ``ok`` is True whenever eps > 0.
+    """
+    if eps is None:
+        return cholesky(k_mat)
+    l_mat = cholesky_with_substitute(k_mat, eps, block=block)
+    return l_mat, jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+
+
+def cholesky_append_padded(
+    l_pad: Array,
+    kernel,
+    x_pad: Array,
+    n_old,
+    k_new: int,
+    noise,
+    eps=None,
+    method: str = "gram",
+) -> Array:
+    """Blocked rank-k append of ``k_new`` rows to a padded Cholesky factor.
+
+    Replaces the reference's per-row ``Cholesky::insert_column`` loop
+    (``algebra/mod.rs:97-126``) with one blocked update:
+
+        C   = K(X_old, X_new)            (cap x k, dead rows zeroed)
+        S   = L^-1 C                     (one triangular solve, MXU)
+        L22 = chol(K_new + noise^2 I - S^T S)
+        L  <- rows [n_old, n_old+k) := [S^T with L22 at column n_old]
+
+    ``n_old`` may be traced; ``k_new`` is static (shape). The caller
+    guarantees capacity >= n_old + k_new (growth handled host-side with the
+    reference's 1.5x policy).
+
+    Deviation (improvement): when ``eps`` is set, the new diagonal block
+    uses the substituting factorization; the reference silently ignores
+    ``cholesky_epsilon`` in ``add_rows_cholesky_cov_matrix``.
+    """
+    cap, d = x_pad.shape
+    x_new = lax.dynamic_slice(x_pad, (n_old, jnp.zeros_like(n_old)), (k_new, d))
+    c = cross_covariance_train_padded(kernel, x_pad, n_old, x_new, method=method)
+    s = solve_triangular(l_pad, c, lower=True)  # (cap, k) — zero in dead rows
+    k22 = cross_covariance(kernel, x_new, x_new, method=method)
+    k22 = k22 + (noise * noise) * jnp.eye(k_new, dtype=k22.dtype)
+    m22 = k22 - jnp.dot(s.T, s, preferred_element_type=s.dtype)
+    if eps is None:
+        l22 = jnp.linalg.cholesky(m22)
+    else:
+        l22 = _unblocked_cholesky_substitute(m22, eps)
+    new_rows = s.T  # (k, cap); columns >= n_old are zero
+    new_rows = lax.dynamic_update_slice(new_rows, l22, (jnp.zeros_like(n_old), n_old))
+    return lax.dynamic_update_slice(l_pad, new_rows, (n_old, jnp.zeros_like(n_old)))

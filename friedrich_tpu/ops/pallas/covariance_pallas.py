@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: fused covariance-matrix build.
+
+The XLA path (``ops/covariance.py``) materializes the (n, m) squared
+distance matrix in HBM, then the kernel map, then the masked result —
+three HBM round-trips for one output. This kernel fuses, per (128-aligned)
+tile: the distance Gram (one MXU matmul on the tile's rows), the kernel's
+scalar map (VPU), the noise/identity diagonal handling, and the live-region
+masking — writing each output tile exactly once.
+
+Supported kernels: any whose pointwise map depends only on sqdist/dist/dot
+(all nine reference kernels); the map is traced INTO the Pallas kernel body,
+so Sum/Prod compositions fuse too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..distance import DIST, DOT, SQDIST
+
+Array = jnp.ndarray
+
+TILE = 256  # 2x MXU tile; good VMEM/compute balance for f32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _feats_tile(kernel, x1_tile, x2_tile, dtype):
+    """Pairwise features for one (TILE, d) x (TILE, d) pair of row blocks."""
+    needs = kernel.needs
+    feats = {}
+    dot = None
+    if DOT in needs or SQDIST in needs or DIST in needs:
+        dot = jax.lax.dot_general(
+            x1_tile,
+            x2_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+    if DOT in needs:
+        feats[DOT] = dot
+    if SQDIST in needs or DIST in needs:
+        n1 = jnp.sum(x1_tile * x1_tile, axis=1, keepdims=True)
+        n2 = jnp.sum(x2_tile * x2_tile, axis=1, keepdims=True)
+        sq = jnp.maximum(n1 + n2.T - 2.0 * dot, 0.0)
+        feats[SQDIST] = sq
+        if DIST in needs:
+            feats[DIST] = jnp.sqrt(sq)
+    return feats
+
+
+def _cov_kernel_body(
+    x1_ref, x2_ref, n_ref, noise_ref, out_ref, *, kernel_template, train_mode
+):
+    """One (TILE, TILE) output tile: features -> pointwise map -> mask."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dtype = out_ref.dtype
+    x1 = x1_ref[:]
+    x2 = x2_ref[:]
+    feats = _feats_tile(kernel_template, x1, x2, dtype)
+    k = kernel_template.pointwise(feats).astype(dtype)
+
+    if train_mode:
+        n = n_ref[0]
+        noise = noise_ref[0].astype(dtype)
+        rows = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        cols = j * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        live = (rows < n) & (cols < n)
+        diag = rows == cols
+        k = k + jnp.where(diag, (noise * noise), 0.0)
+        eye = jnp.where(diag, 1.0, 0.0).astype(dtype)
+        k = jnp.where(live, k, eye)
+    else:
+        n = n_ref[0]
+        rows = i * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        k = jnp.where(rows < n, k, 0.0)
+
+    out_ref[:] = k
+
+
+def _pad_rows(x: Array, rows: int) -> Array:
+    if x.shape[0] == rows:
+        return x
+    return jnp.zeros((rows, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_static", "train_mode"))
+def _cov_pallas(x1, x2, n, noise, kernel_params, kernel_static, train_mode):
+    kernel = kernel_static.with_params(kernel_params)
+    m1, m2 = x1.shape[0], x2.shape[0]
+    grid = (m1 // TILE, m2 // TILE)
+    body = functools.partial(
+        _cov_kernel_body, kernel_template=kernel, train_mode=train_mode
+    )
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((m1, m2), x1.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, x1.shape[1]), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, x2.shape[1]), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )(x1, x2, jnp.asarray([n], jnp.int32), jnp.reshape(noise, (1,)).astype(x1.dtype))
+
+
+def train_covariance_pallas(kernel, x_pad: Array, n, noise) -> Array:
+    """Fused padded training covariance (drop-in for
+    ``train_covariance_padded``). Requires capacity % TILE == 0 for the
+    fully-tiled fast path; otherwise falls back to the XLA builder."""
+    cap = x_pad.shape[0]
+    if cap % TILE != 0:
+        from ..covariance import train_covariance_padded
+
+        return train_covariance_padded(kernel, x_pad, n, noise)
+    return _cov_pallas(
+        x_pad, x_pad, n, noise, kernel.get_params(), kernel.with_params, True
+    )
+
+
+def cross_covariance_train_pallas(kernel, x_pad: Array, n, xq: Array) -> Array:
+    """Fused K(X_train_pad, Xq) with dead rows zeroed (drop-in for
+    ``cross_covariance_train_padded``)."""
+    cap, m = x_pad.shape[0], xq.shape[0]
+    if cap % TILE != 0 or m % TILE != 0:
+        from ..covariance import cross_covariance_train_padded
+
+        return cross_covariance_train_padded(kernel, x_pad, n, xq)
+    return _cov_pallas(
+        x_pad, xq, n, jnp.zeros((), x_pad.dtype), kernel.get_params(),
+        kernel.with_params, False,
+    )

@@ -1,0 +1,150 @@
+"""Optimizer parity: marginal-likelihood gradients and full ADAM fit
+trajectories (both scaled and generic paths) match the reference's exact
+update rules, via the direct-loop oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import friedrich_tpu as ft
+import friedrich_tpu.kernels as fk
+import friedrich_tpu.priors as fp
+from friedrich_tpu.models.optimizer import (
+    _generic_step,
+    _inverse_and_alpha,
+    _per_param_grads,
+    AdamState,
+    fit_parameters,
+)
+
+import oracle as orc
+
+RNG = np.random.default_rng(3)
+
+
+def _gp_pair(kern, okern, noise=0.3, n=7, d=2, cap=None):
+    x = RNG.normal(size=(n, d))
+    y = np.sin(x[:, 0]) + 0.5 * x[:, 1] + 0.1 * RNG.normal(size=n)
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), kern, noise, None, x, y, capacity=cap
+    )
+    ogp = orc.OracleGP(orc.OZeroPrior(), okern, noise, x, y)
+    return gp, ogp
+
+
+def test_generic_gradients_match_oracle():
+    # RationalQuadratic is not scalable -> generic path w/ noise gradient
+    gp, ogp = _gp_pair(
+        fk.RationalQuadratic(alpha=1.2, ls=0.9), orc.ORationalQuadratic(1.2, 0.9),
+        cap=11,  # exercise padding corrections (trace of K^-1)
+    )
+    state = gp.state
+    cov_inv, alpha = _inverse_and_alpha(state)
+    data_fit, complexity = _per_param_grads(state, cov_inv, alpha)
+    grads_kernel = (np.asarray(data_fit) - np.asarray(complexity)) / 2.0
+    want = ogp.gradient_marginal_likelihood()
+    np.testing.assert_allclose(grads_kernel, want[:-1], rtol=1e-8)
+    # noise gradient with the padded-trace correction
+    cap = state.capacity
+    noise_grad = float(state.noise) * (
+        float(alpha @ alpha)
+        - (float(jnp.trace(cov_inv)) - (cap - int(state.n)))
+    )
+    np.testing.assert_allclose(noise_grad, want[-1], rtol=1e-8)
+
+
+def test_scaled_scale_matches_oracle():
+    gp, ogp = _gp_pair(fk.SquaredExp(ls=0.8, ampl=1.1), orc.OSquaredExp(0.8, 1.1))
+    state = gp.state
+    _, alpha = _inverse_and_alpha(state)
+    scale = float(state.resid @ alpha) / int(state.n)
+    oscale, _ = ogp.scaled_gradient_marginal_likelihood()
+    np.testing.assert_allclose(scale, oscale, rtol=1e-9)
+
+
+@pytest.mark.parametrize("iters", [1, 5, 25])
+def test_scaled_fit_trajectory_matches_oracle(iters):
+    gp, ogp = _gp_pair(fk.SquaredExp(ls=0.9, ampl=1.2), orc.OSquaredExp(0.9, 1.2))
+    gp.fit_parameters(False, True, max_iter=iters, convergence_fraction=1e-12)
+    ogp.scaled_optimize_parameters(iters, 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(gp.kernel.get_params()), ogp.kern.get_parameters(), rtol=1e-6
+    )
+    np.testing.assert_allclose(gp.noise, ogp.noise, rtol=1e-6)
+    xq = RNG.normal(size=(4, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp.predict(xq)), ogp.predict(xq), rtol=1e-6, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("iters", [1, 5, 25])
+def test_generic_fit_trajectory_matches_oracle(iters):
+    gp, ogp = _gp_pair(
+        fk.RationalQuadratic(alpha=1.0, ls=1.0), orc.ORationalQuadratic(1.0, 1.0),
+        cap=10,
+    )
+    gp.fit_parameters(False, True, max_iter=iters, convergence_fraction=1e-12)
+    ogp.optimize_parameters(iters, 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(gp.kernel.get_params()), ogp.kern.get_parameters(), rtol=1e-6
+    )
+    np.testing.assert_allclose(gp.noise, ogp.noise, rtol=1e-6)
+
+
+def test_fit_prior_refits_and_reresidualizes():
+    gp, ogp = _gp_pair(fk.SquaredExp(ls=1.0, ampl=1.0), orc.OSquaredExp(1.0, 1.0))
+    # replace zero prior with constant prior, fit prior only
+    gp._state = gp._state.replace(prior=fp.ConstantPrior(c=0.0))
+    ogp.prior = orc.OConstantPrior(0.0)
+    gp.fit_parameters(True, False, max_iter=0)
+    ogp.fit_parameters(True, False, 0, 0.05)
+    np.testing.assert_allclose(float(gp.prior.c), ogp.prior.c, rtol=1e-10)
+    xq = RNG.normal(size=(3, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp.predict(xq)), ogp.predict(xq), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_linear_prior_fit_padded_matches_live():
+    x = RNG.normal(size=(8, 3))
+    y = x @ np.array([0.5, -1.0, 2.0]) + 0.3 + 0.01 * RNG.normal(size=8)
+    live_fit = fp.LinearPrior.default(3).fit(jnp.asarray(x), jnp.asarray(y))
+    x_pad = jnp.zeros((12, 3)).at[:8].set(x)
+    y_pad = jnp.zeros((12,)).at[:8].set(y)
+    mask = jnp.arange(12) < 8
+    pad_fit = fp.LinearPrior.default(3).fit_padded(x_pad, y_pad, mask)
+    np.testing.assert_allclose(
+        np.asarray(pad_fit.weights), np.asarray(live_fit.weights), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(pad_fit.intercept), float(live_fit.intercept), rtol=1e-8
+    )
+
+
+def test_convergence_stops_early():
+    gp, _ = _gp_pair(fk.SquaredExp(ls=1.0, ampl=1.0), orc.OSquaredExp(1.0, 1.0))
+    # huge convergence fraction -> should stop after the first iteration
+    before = np.asarray(gp.kernel.get_params())
+    gp.fit_parameters(False, True, max_iter=100, convergence_fraction=1e6)
+    after = np.asarray(gp.kernel.get_params())
+    # exactly one multiplicative update applied
+    assert not np.allclose(before, after)
+
+
+def test_default_full_pipeline_matches_oracle():
+    """GaussianProcess::default end-to-end: heuristics + prior fit + scaled
+    ADAM fit (the reference's main train entry, mod.rs:96-102)."""
+    x = [[0.8], [1.2], [3.8], [4.2]]
+    y = [3.0, 4.0, -2.0, -2.0]
+    gp = ft.GaussianProcess.default(x, y)
+    ogp = orc.oracle_default_gp(x, y)
+    np.testing.assert_allclose(
+        np.asarray(gp.kernel.get_params()), ogp.kern.get_parameters(), rtol=1e-6
+    )
+    np.testing.assert_allclose(gp.noise, ogp.noise, rtol=1e-6)
+    xq = [[1.0], [2.0], [3.0]]
+    np.testing.assert_allclose(gp.predict(xq), ogp.predict(xq), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        gp.predict_variance(xq), ogp.predict_variance(xq), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(gp.likelihood(), ogp.likelihood(), rtol=1e-6)
