@@ -24,16 +24,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_and_factor_fn():
+def build_and_factor_fn(n: int):
+    """Fused covariance-build + Cholesky.
+
+    Large n uses the streamed left-looking factorization (K is never
+    materialized in HBM; one small fori_loop program, avoiding both the
+    2x-K memory peak and the monolithic-Cholesky compile blowup); small n
+    uses the dense XLA path.
+    """
     from friedrich_tpu.ops.cholesky import cholesky
     from friedrich_tpu.ops.covariance import cross_covariance
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
 
-    def run(kernel, x, noise):
-        k = cross_covariance(kernel, x, x)
-        k = k + (noise * noise) * jnp.eye(k.shape[0], dtype=k.dtype)
-        l_mat, ok = cholesky(k)
-        # cheap scalar that depends on the whole factor
-        return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
+    if n > 32768:
+
+        def run(kernel, x, noise):
+            l_mat, ok = streamed_cholesky_factor(kernel, x, n, noise, block=2048)
+            return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
+
+    else:
+
+        def run(kernel, x, noise):
+            k = cross_covariance(kernel, x, x)
+            k = k + (noise * noise) * jnp.eye(k.shape[0], dtype=k.dtype)
+            l_mat, ok = cholesky(k)
+            # cheap scalar that depends on the whole factor
+            return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
 
     return jax.jit(run)
 
@@ -50,7 +66,7 @@ def bench_once(n: int, d: int = 8, repeats: int = 3) -> float:
         ls=jnp.asarray(0.5, jnp.float32), ampl=jnp.asarray(1.0, jnp.float32)
     )
     noise = jnp.asarray(1.0, jnp.float32)
-    run = build_and_factor_fn()
+    run = build_and_factor_fn(n)
     out, ok = run(kernel, x, noise)  # compile + warm up
     jax.block_until_ready(out)
     if not bool(ok):

@@ -83,6 +83,7 @@ class GaussianProcess:
         training_outputs,
         method: str = "gram",
         capacity: Optional[int] = None,
+        backend: str = "dense",
     ) -> "GaussianProcess":
         """Raw constructor (``mod.rs:142-167``)."""
         if noise < 0:
@@ -99,7 +100,8 @@ class GaussianProcess:
                 f"{x.shape[0]} input rows vs {y.shape[0]} outputs"
             )
         state, ok = core.make_state(
-            kernel, prior, noise, x, y, eps=cholesky_epsilon, method=method, cap=capacity
+            kernel, prior, noise, x, y, eps=cholesky_epsilon, method=method,
+            cap=capacity, backend=backend,
         )
         if not bool(ok):
             raise CholeskyError()

@@ -50,6 +50,7 @@ class GaussianProcessBuilder:
         self._max_time = DEFAULT_MAX_TIME
         self._method = "gram"
         self._capacity: Optional[int] = None
+        self._backend = "dense"
 
     # -- setters (builder.rs:102-182) ----------------------------------------
 
@@ -109,6 +110,14 @@ class GaussianProcessBuilder:
         self._capacity = capacity
         return self
 
+    def set_backend(self, backend: str) -> "GaussianProcessBuilder":
+        """'dense' (materialize K; small/medium n) or 'streamed' (fused
+        build+factor, K never materialized; large n)."""
+        if backend not in ("dense", "streamed"):
+            raise ConfigError(f"unknown backend {backend!r}")
+        self._backend = backend
+        return self
+
     # -- train (builder.rs:189-214) ----------------------------------------------
 
     def train(self) -> GaussianProcess:
@@ -124,6 +133,7 @@ class GaussianProcessBuilder:
             self._y,
             method=self._method,
             capacity=self._capacity,
+            backend=self._backend,
         )
         if self._should_fit_prior or self._should_fit_kernel:
             gp.fit_parameters(

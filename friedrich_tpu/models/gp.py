@@ -58,6 +58,9 @@ class GPState:
     # -- static (non-pytree) config --
     eps: Optional[float] = struct.field(pytree_node=False, default=None)
     method: str = struct.field(pytree_node=False, default="gram")
+    # "dense": materialize K then factor (small/medium n);
+    # "streamed": fused build+factor, K never materialized (large n)
+    backend: str = struct.field(pytree_node=False, default="dense")
 
     @property
     def capacity(self) -> int:
@@ -81,6 +84,17 @@ def pad_capacity(x: Array, y_resid: Array, cap: int) -> tuple[Array, Array]:
     return x_pad, r_pad
 
 
+def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
+    if backend == "streamed":
+        from ..ops.streamed import streamed_cholesky_factor
+
+        return streamed_cholesky_factor(
+            kernel, x_pad, n_arr, noise, eps=eps, method=method
+        )
+    k_pad = train_covariance_padded(kernel, x_pad, n_arr, noise, method=method)
+    return factor(k_pad, eps)
+
+
 def make_state(
     kernel,
     prior,
@@ -90,6 +104,7 @@ def make_state(
     eps: Optional[float] = None,
     method: str = "gram",
     cap: Optional[int] = None,
+    backend: str = "dense",
 ) -> tuple[GPState, Array]:
     """Build a trained state from live data (``GaussianProcess::new``,
     ``mod.rs:142-167``): residualize against the prior, build the padded
@@ -103,8 +118,7 @@ def make_state(
     resid = y - prior.mean(x)
     x_pad, r_pad = pad_capacity(x, resid, cap)
     n_arr = jnp.asarray(n, dtype=jnp.int32)
-    k_pad = train_covariance_padded(kernel, x_pad, n_arr, noise, method=method)
-    l_pad, ok = factor(k_pad, eps)
+    l_pad, ok = _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend)
     state = GPState(
         x=x_pad,
         resid=r_pad,
@@ -115,6 +129,7 @@ def make_state(
         prior=prior,
         eps=eps,
         method=method,
+        backend=backend,
     )
     return state, ok
 
@@ -122,10 +137,10 @@ def make_state(
 def rebuild_cholesky(state: GPState) -> tuple[GPState, Array]:
     """Re-factor the training covariance for the current hyperparameters
     (the per-iteration rebuild at ``optimizer.rs:133-136,267-270``)."""
-    k_pad = train_covariance_padded(
-        state.kernel, state.x, state.n, state.noise, method=state.method
+    l_pad, ok = _build_factor(
+        state.kernel, state.x, state.n, state.noise, state.eps, state.method,
+        state.backend,
     )
-    l_pad, ok = factor(k_pad, state.eps)
     return state.replace(l=l_pad), ok
 
 

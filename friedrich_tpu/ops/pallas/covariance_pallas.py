@@ -58,16 +58,25 @@ def _feats_tile(kernel, x1_tile, x2_tile, dtype):
 
 
 def _cov_kernel_body(
-    x1_ref, x2_ref, n_ref, noise_ref, out_ref, *, kernel_template, train_mode
+    x1_ref, x2_ref, n_ref, noise_ref, params_ref, out_ref, *, treedef, n_leaves,
+    train_mode,
 ):
-    """One (TILE, TILE) output tile: features -> pointwise map -> mask."""
+    """One (TILE, TILE) output tile: features -> pointwise map -> mask.
+
+    Kernel hyperparameters arrive as an SMEM vector (``params_ref``) and are
+    unflattened back into the kernel pytree inside the body, so the scalar
+    map fuses with the distance Gram without captured constants.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
     dtype = out_ref.dtype
+    kernel = jax.tree_util.tree_unflatten(
+        treedef, [params_ref[t] for t in range(n_leaves)]
+    )
     x1 = x1_ref[:]
     x2 = x2_ref[:]
-    feats = _feats_tile(kernel_template, x1, x2, dtype)
-    k = kernel_template.pointwise(feats).astype(dtype)
+    feats = _feats_tile(kernel, x1, x2, dtype)
+    k = kernel.pointwise(feats).astype(dtype)
 
     if train_mode:
         n = n_ref[0]
@@ -93,13 +102,16 @@ def _pad_rows(x: Array, rows: int) -> Array:
     return jnp.zeros((rows, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_static", "train_mode"))
-def _cov_pallas(x1, x2, n, noise, kernel_params, kernel_static, train_mode):
-    kernel = kernel_static.with_params(kernel_params)
+@functools.partial(jax.jit, static_argnames=("treedef", "train_mode"))
+def _cov_pallas(x1, x2, n, noise, leaves, treedef, train_mode):
     m1, m2 = x1.shape[0], x2.shape[0]
     grid = (m1 // TILE, m2 // TILE)
+    params = jnp.stack([jnp.asarray(v, x1.dtype) for v in leaves])
     body = functools.partial(
-        _cov_kernel_body, kernel_template=kernel, train_mode=train_mode
+        _cov_kernel_body,
+        treedef=treedef,
+        n_leaves=len(leaves),
+        train_mode=train_mode,
     )
     return pl.pallas_call(
         body,
@@ -112,10 +124,17 @@ def _cov_pallas(x1, x2, n, noise, kernel_params, kernel_static, train_mode):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-    )(x1, x2, jnp.asarray([n], jnp.int32), jnp.reshape(noise, (1,)).astype(x1.dtype))
+    )(
+        x1,
+        x2,
+        jnp.asarray([n], jnp.int32),
+        jnp.reshape(noise, (1,)).astype(x1.dtype),
+        params,
+    )
 
 
 def train_covariance_pallas(kernel, x_pad: Array, n, noise) -> Array:
@@ -127,9 +146,8 @@ def train_covariance_pallas(kernel, x_pad: Array, n, noise) -> Array:
         from ..covariance import train_covariance_padded
 
         return train_covariance_padded(kernel, x_pad, n, noise)
-    return _cov_pallas(
-        x_pad, x_pad, n, noise, kernel.get_params(), kernel.with_params, True
-    )
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+    return _cov_pallas(x_pad, x_pad, n, noise, tuple(leaves), treedef, True)
 
 
 def cross_covariance_train_pallas(kernel, x_pad: Array, n, xq: Array) -> Array:
@@ -140,7 +158,7 @@ def cross_covariance_train_pallas(kernel, x_pad: Array, n, xq: Array) -> Array:
         from ..covariance import cross_covariance_train_padded
 
         return cross_covariance_train_padded(kernel, x_pad, n, xq)
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
     return _cov_pallas(
-        x_pad, xq, n, jnp.zeros((), x_pad.dtype), kernel.get_params(),
-        kernel.with_params, False,
+        x_pad, xq, n, jnp.zeros((), x_pad.dtype), tuple(leaves), treedef, False
     )

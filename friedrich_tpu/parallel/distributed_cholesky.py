@@ -1,0 +1,166 @@
+"""Distributed streamed Cholesky over a device mesh (shard_map + collectives).
+
+The large-n replacement for nalgebra's single-thread factorization
+(``algebra/mod.rs:83-90``), built as the SPMD version of
+``ops/streamed.py``'s left-looking panel algorithm:
+
+- Training inputs and the output factor L are **row-sharded** across all
+  mesh devices (mesh axes flattened into one linear rank axis). Contiguous
+  row sharding is load-BALANCED here because every left-looking panel
+  touches all rows — unlike right-looking trailing updates, where early
+  rows go idle.
+- Per panel j, each device: (1) builds its rows of the covariance strip
+  K(X_local, X_j) directly from inputs (K is never materialized), (2)
+  downdates against previously factored panels using its local L rows plus
+  the panel-owner's B x cap row strip — the ONE collective per panel (a
+  ``psum`` broadcast that rides ICI), (3) redundantly factors the B x B
+  diagonal block (cheap), (4) solves its rows of the panel locally (MXU
+  TRSM).
+- Communication: cap x B floats per panel = cap^2 total — the size of L,
+  streamed once over ICI; compute per device is the full panel GEMM chain,
+  so compute:comm ratio grows linearly with B.
+
+Constraints: capacity % n_devices == 0 and local_rows % block == 0 (panels
+never straddle device boundaries — keeps ownership tests trivial).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.cholesky import _unblocked_cholesky_substitute
+from ..ops.covariance import cross_covariance
+
+Array = jnp.ndarray
+
+
+def _pick_block(local_rows: int, target: int) -> int:
+    b = min(target, local_rows)
+    while local_rows % b:
+        b -= 1
+    return b
+
+
+def distributed_cholesky_factor(
+    mesh: Mesh,
+    kernel,
+    x_pad: Array,
+    n,
+    noise,
+    eps: Optional[float] = None,
+    block: int = 512,
+    method: str = "gram",
+) -> tuple[Array, Array]:
+    """Fused covariance build + Cholesky, row-sharded over the whole mesh.
+
+    Returns (L, ok) with L row-sharded; callers can keep it sharded for
+    distributed solves or gather it.
+    """
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.size
+    cap, d = x_pad.shape
+    if cap % n_dev:
+        raise ValueError(f"capacity {cap} not divisible by {n_dev} devices")
+    local_rows = cap // n_dev
+    block = _pick_block(local_rows, block)
+    num_panels = cap // block
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+
+    def body(x_local, n_arr, noise_arr, *kleaves):
+        kern = jax.tree_util.tree_unflatten(treedef, kleaves)
+        dtype = x_local.dtype
+        n_live = n_arr[0]
+        noise_v = noise_arr[0]
+        rank = lax.axis_index(axes)
+        row0 = rank * local_rows
+        rows_global = row0 + jnp.arange(local_rows)
+
+        l_local = jnp.zeros((local_rows, cap), dtype=dtype)
+
+        def owner_bcast(arr_local, off, owned, shape):
+            """Extract ``shape`` rows at local offset ``off`` on the owner,
+            broadcast to all devices via psum."""
+            zeros = tuple(jnp.zeros_like(off) for _ in range(arr_local.ndim - 1))
+            sl = lax.dynamic_slice(
+                arr_local, (off,) + zeros,
+                (shape[0],) + arr_local.shape[1:],
+            )
+            sl = jnp.where(owned, sl, jnp.zeros_like(sl))
+            return lax.psum(sl, axes)
+
+        def panel_step(j, l_local):
+            j0 = j * block
+            owned = (j0 >= row0) & (j0 < row0 + local_rows)
+            off = jnp.clip(j0 - row0, 0, local_rows - block)
+
+            # panel inputs X_j, broadcast from the owner
+            xj = owner_bcast(x_local, off, owned, (block, d))
+
+            # local rows of the covariance strip (streamed build)
+            s = cross_covariance(kern, x_local, xj, method=method)
+            cols = j0 + jnp.arange(block)[None, :]
+            diag = rows_global[:, None] == cols
+            s = s + jnp.where(diag, noise_v * noise_v, 0.0)
+            live = (rows_global[:, None] < n_live) & (cols < n_live)
+            eye = jnp.where(diag, 1.0, 0.0).astype(dtype)
+            s = jnp.where(live, s, eye)
+
+            # the one collective: panel-owner's previously-factored rows
+            l_jrows = owner_bcast(l_local, off, owned, (block, cap))
+
+            def downdate(i, s_acc):
+                i0 = i * block
+                l_strip = lax.dynamic_slice(l_local, (jnp.zeros_like(i0), i0), (local_rows, block))
+                l_jr = lax.dynamic_slice(l_jrows, (jnp.zeros_like(i0), i0), (block, block))
+                return s_acc - jnp.dot(l_strip, l_jr.T, preferred_element_type=dtype)
+
+            s = lax.fori_loop(0, j, downdate, s)
+
+            # diagonal block: owner's rows of s, broadcast, factored everywhere
+            diag_blk = owner_bcast(s, off, owned, (block, block))
+            if eps is None:
+                ld = jnp.linalg.cholesky(diag_blk)
+            else:
+                ld = _unblocked_cholesky_substitute(diag_blk, eps)
+
+            t_local = solve_triangular(ld, s.T, lower=True).T
+            # owner substitutes the factored diagonal block for its rows
+            t_owner = lax.dynamic_update_slice(
+                t_local, ld, (off, jnp.zeros_like(off))
+            )
+            t_local = jnp.where(owned, t_owner, t_local)
+            # rows above the panel are zero in a lower factor
+            t_local = jnp.where(rows_global[:, None] < j0, 0.0, t_local)
+            return lax.dynamic_update_slice(l_local, t_local, (jnp.zeros_like(j0), j0))
+
+        l_local = lax.fori_loop(0, num_panels, panel_step, l_local)
+        diag_local = jnp.take_along_axis(
+            l_local, rows_global[:, None], axis=1
+        )[:, 0]
+        ok_local = jnp.all(jnp.isfinite(diag_local))
+        ok = lax.pmin(ok_local.astype(jnp.int32), axes)
+        return l_local, ok[None]
+
+    spec_rows = P(axes if len(axes) > 1 else axes[0])
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_rows, P(), P()) + tuple(P() for _ in leaves),
+        out_specs=(spec_rows, P()),
+        check_rep=False,
+    )
+    l_mat, ok = fn(
+        x_pad,
+        jnp.asarray([n], jnp.int32),
+        jnp.asarray([noise], x_pad.dtype),
+        *[jnp.asarray(v, x_pad.dtype) for v in leaves],
+    )
+    return l_mat, ok[0] > 0

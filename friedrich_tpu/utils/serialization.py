@@ -81,6 +81,7 @@ def save_gp(gp, path: str) -> None:
         "prior": _prior_spec(state.prior),
         "eps": state.eps,
         "method": state.method,
+        "backend": state.backend,
         "n": int(state.n),
         "dtype": str(state.x.dtype),
     }
@@ -111,5 +112,6 @@ def load_gp(path: str):
             prior=_prior_from_spec(header["prior"]),
             eps=header["eps"],
             method=header["method"],
+            backend=header.get("backend", "dense"),
         )
     return GaussianProcess(state)
