@@ -1,0 +1,154 @@
+"""Distributed triangular solves against a row-sharded Cholesky factor.
+
+Completes the large-n predict path (BASELINE config 5): with L row-sharded
+from ``distributed_cholesky_factor``, the predict paths need
+
+    kl = L^-1 C          (variance;  ``gaussian_process/mod.rs:260-263``)
+    w  = L^-T kl         (mean/weights; ``mod.rs:235``)
+
+Both are blocked substitution sweeps over the same panel structure as the
+factorization, with one psum broadcast of the solved (B, m) block per
+panel — comm = cap x m floats per sweep, all GEMM work local and balanced.
+
+Forward sweep (lower):   y_j = Ld_j^-1 (C_j - sum_{i<j} L[j,i] y_i)
+Backward sweep (lower^T): x_j = Ld_j^-T (y_j - sum_{i>j} L[i,j]^T x_i)
+
+The backward sweep consumes L COLUMN panel j of rows below j — those rows
+are local to each device, so the contribution sum is a psum too.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import Mesh, PartitionSpec as P
+
+Array = jnp.ndarray
+
+
+def _local_meta(axes, local_rows):
+    rank = lax.axis_index(axes)
+    row0 = rank * local_rows
+    return rank, row0
+
+
+def distributed_solve_lower(
+    mesh: Mesh, l_local_rows: Array, c: Array, block: int = 512
+) -> Array:
+    """Solve L y = C with L row-sharded over the mesh; C replicated.
+
+    Returns y replicated on all devices (shape (cap, m)).
+    """
+    return _solve(mesh, l_local_rows, c, block, transposed=False)
+
+
+def distributed_solve_lower_t(
+    mesh: Mesh, l_local_rows: Array, c: Array, block: int = 512
+) -> Array:
+    """Solve L^T x = C with L row-sharded; C replicated. Returns x
+    replicated."""
+    return _solve(mesh, l_local_rows, c, block, transposed=True)
+
+
+def _solve(mesh, l_sharded, c, block, transposed):
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.size
+    cap = c.shape[0]
+    m = c.shape[1] if c.ndim == 2 else 1
+    c2 = c.reshape(cap, m)
+    local_rows = cap // n_dev
+    b = min(block, local_rows)
+    while local_rows % b:
+        b -= 1
+    num_panels = cap // b
+
+    def body(l_local, c_rep):
+        dtype = l_local.dtype
+        rank = lax.axis_index(axes)
+        row0 = rank * local_rows
+
+        def owner_bcast(arr_local, off, owned, nrows):
+            zeros = tuple(jnp.zeros_like(off) for _ in range(arr_local.ndim - 1))
+            sl = lax.dynamic_slice(
+                arr_local, (off,) + zeros, (nrows,) + arr_local.shape[1:]
+            )
+            sl = jnp.where(owned, sl, jnp.zeros_like(sl))
+            return lax.psum(sl, axes)
+
+        y = jnp.zeros((cap, m), dtype=dtype)
+
+        if not transposed:
+            # forward substitution over panels 0..P-1
+            def panel(j, y):
+                j0 = j * b
+                owned = (j0 >= row0) & (j0 < row0 + local_rows)
+                off = jnp.clip(j0 - row0, 0, local_rows - b)
+                # owner's row panel of L: (b, cap)
+                l_rows = owner_bcast(l_local, off, owned, b)
+                # rhs block minus contributions of already-solved blocks:
+                # L[j, :j0] @ y[:j0] — mask columns >= j0 (y rows there are 0)
+                cols = jnp.arange(cap)
+                l_left = jnp.where(cols[None, :] < j0, l_rows, 0.0)
+                rhs = lax.dynamic_slice(
+                    c2, (j0, jnp.zeros_like(j0)), (b, m)
+                ) - jnp.dot(l_left, y, preferred_element_type=dtype)
+                ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
+                yj = solve_triangular(ld, rhs, lower=True)
+                return lax.dynamic_update_slice(y, yj, (j0, jnp.zeros_like(j0)))
+
+            y = lax.fori_loop(0, num_panels, panel, y)
+        else:
+            # backward substitution over panels P-1..0
+            rows_global = row0 + jnp.arange(local_rows)
+
+            def panel(t, y):
+                j = num_panels - 1 - t
+                j0 = j * b
+                owned = (j0 >= row0) & (j0 < row0 + local_rows)
+                off = jnp.clip(j0 - row0, 0, local_rows - b)
+                # contribution sum_{rows r > j0+b-1} L[r, j0:j0+b]^T x_r:
+                # each device's local rows contribute; psum
+                l_colpanel = lax.dynamic_slice(
+                    l_local, (jnp.zeros_like(j0), j0), (local_rows, b)
+                )  # (local_rows, b) = L[local rows, j0:j0+b]
+                below = rows_global >= j0 + b
+                l_below = jnp.where(below[:, None], l_colpanel, 0.0)
+                y_local = lax.dynamic_slice(
+                    y, (row0, jnp.zeros_like(row0)), (local_rows, m)
+                )
+                contrib = lax.psum(
+                    jnp.dot(l_below.T, y_local, preferred_element_type=dtype),
+                    axes,
+                )
+                rhs = lax.dynamic_slice(
+                    c2, (j0, jnp.zeros_like(j0)), (b, m)
+                ) - contrib
+                l_rows = owner_bcast(l_local, off, owned, b)
+                ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
+                xj = solve_triangular(ld, rhs, lower=True, trans=1)
+                return lax.dynamic_update_slice(y, xj, (j0, jnp.zeros_like(j0)))
+
+            y = lax.fori_loop(0, num_panels, panel, y)
+
+        return y
+
+    spec_rows = P(axes if len(axes) > 1 else axes[0])
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_rows, P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    y = fn(l_sharded, c2)
+    return y.reshape(c.shape)
+
+
+def distributed_cho_solve(mesh: Mesh, l_sharded: Array, c: Array, block: int = 512) -> Array:
+    """K^-1 C via forward + backward sweeps (the ``covmat_cholesky.solve``
+    slot, ``mod.rs:235``)."""
+    y = distributed_solve_lower(mesh, l_sharded, c, block)
+    return distributed_solve_lower_t(mesh, l_sharded, y, block)

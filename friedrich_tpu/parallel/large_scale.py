@@ -1,0 +1,208 @@
+"""Large-scale exact GP over a device mesh (BASELINE config 5).
+
+End-to-end large-n path combining the distributed pieces:
+
+- **build**: row-sharded streamed Cholesky (``distributed_cholesky.py``) —
+  K never materialized, factor stays sharded;
+- **predict**: replicated covariance strips + distributed triangular
+  sweeps (``distributed_solve.py``) for mean/variance/weights;
+- **fit**: the reference's scaled ADAM rules (``optimizer.rs:211-283``)
+  with the two O(n^3)-dense quantities replaced by factor-based solves and
+  a Hutchinson trace estimator:
+      alpha            = K^-1 r           (two distributed sweeps)
+      scale            = r.alpha / n       (exact, as optimizer.rs:174)
+      alpha^T dK alpha                      (streamed dK matvec — exact)
+      tr(K^-1 dK_p)   ~= mean_z (K^-1 z)^T (dK_p z),  z Rademacher
+  This is the standard unbiased estimator (cf. GPyTorch/arXiv:1809.11165);
+  the small-n exact path remains the parity reference. Fixed probe seeds
+  make the fit deterministic.
+
+The reference caps out at what one CPU core can factor; this module is the
+capability it lacks, so there is no parity target — correctness is checked
+against the single-device engine at overlapping sizes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import DEFAULT_CONVERGENCE_FRACTION, DEFAULT_MAX_ITER, DEFAULT_MAX_TIME
+from ..models.optimizer import ADAM_EPS, BETA1, BETA2, LEARNING_RATE
+from ..ops.covariance import cross_covariance_train_padded, kernel_diag
+from ..ops.streamed_matvec import streamed_grad_matvec
+from ..utils.errors import CholeskyError
+from .distributed_cholesky import distributed_cholesky_factor
+from .distributed_solve import (
+    distributed_cho_solve,
+    distributed_solve_lower,
+    distributed_solve_lower_t,
+)
+
+Array = jnp.ndarray
+
+
+class LargeScaleGP:
+    """Exact GP whose factor lives row-sharded across a mesh.
+
+    API mirrors the core ``GaussianProcess`` where it makes sense at scale:
+    ``predict``, ``predict_variance``, ``predict_mean_variance``,
+    ``log_marginal_likelihood``, ``fit_scaled`` (hyperparameter fit).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        kernel,
+        prior,
+        noise: float,
+        x: Array,
+        y: Array,
+        eps: Optional[float] = None,
+        block: int = 512,
+        method: str = "gram",
+    ):
+        self.mesh = mesh
+        self.kernel = kernel
+        self.prior = prior
+        self.block = block
+        self.method = method
+        self.eps = eps
+        n, d = x.shape
+        cap = n
+        if cap % mesh.size:
+            cap = (n // mesh.size + 1) * mesh.size
+        self.n = n
+        self.x = jnp.zeros((cap, d), x.dtype).at[:n].set(x)
+        resid = y - prior.mean(x)
+        self.resid = jnp.zeros((cap,), x.dtype).at[:n].set(resid)
+        self.noise = jnp.asarray(noise, x.dtype)
+        self._factor()
+
+    # -- factorization -----------------------------------------------------
+
+    def _factor(self) -> None:
+        self.l_sharded, ok = distributed_cholesky_factor(
+            self.mesh, self.kernel, self.x, self.n, self.noise,
+            eps=self.eps, block=self.block, method=self.method,
+        )
+        if not bool(ok):
+            raise CholeskyError()
+
+    # -- prediction ---------------------------------------------------------
+
+    def _cross(self, xq: Array) -> Array:
+        return cross_covariance_train_padded(
+            self.kernel, self.x, self.n, xq, method=self.method
+        )
+
+    def predict(self, xq: Array) -> Array:
+        c = self._cross(xq)
+        w = distributed_cho_solve(self.mesh, self.l_sharded, c, self.block)
+        return self.prior.mean(xq) + w.T @ self.resid
+
+    def predict_variance(self, xq: Array) -> Array:
+        c = self._cross(xq)
+        kl = distributed_solve_lower(self.mesh, self.l_sharded, c, self.block)
+        return kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
+
+    def predict_mean_variance(self, xq: Array) -> tuple[Array, Array]:
+        c = self._cross(xq)
+        kl = distributed_solve_lower(self.mesh, self.l_sharded, c, self.block)
+        w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
+        mean = self.prior.mean(xq) + w.T @ self.resid
+        var = kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
+        return mean, var
+
+    # -- scores --------------------------------------------------------------
+
+    def log_marginal_likelihood(self) -> float:
+        ol = distributed_solve_lower(
+            self.mesh, self.l_sharded, self.resid[:, None], self.block
+        )[:, 0]
+        data_fit = float(jnp.sum(ol * ol))
+        diag = jnp.diagonal(jax.device_get(self.l_sharded))[: self.n]
+        logdet = 2.0 * float(jnp.sum(jnp.log(diag)))
+        return -(data_fit + logdet + self.n * float(np.log(2 * np.pi))) / 2.0
+
+    # -- hyperparameter fit ----------------------------------------------------
+
+    def fit_scaled(
+        self,
+        max_iter: int = DEFAULT_MAX_ITER,
+        convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
+        max_time: float = DEFAULT_MAX_TIME,
+        num_probes: int = 8,
+        seed: int = 0,
+    ) -> None:
+        """Scaled ADAM fit (``optimizer.rs:211-283`` rules) with Hutchinson
+        trace estimates; requires a scalable kernel."""
+        if not self.kernel.is_scalable:
+            raise NotImplementedError(
+                "large-scale fit currently implements the scaled path "
+                "(scalable kernels: SquaredExp/Exponential/Matern)"
+            )
+        cap = self.x.shape[0]
+        dtype = self.x.dtype
+        key = jax.random.PRNGKey(seed)
+        probes = (
+            jax.random.rademacher(key, (cap, num_probes), dtype=dtype)
+            if hasattr(jax.random, "rademacher")
+            else jnp.sign(jax.random.normal(key, (cap, num_probes), dtype=dtype))
+        )
+        live = (jnp.arange(cap) < self.n)[:, None]
+        probes = jnp.where(live, probes, 0.0)
+
+        params = self.kernel.get_params()
+        params = jnp.where(params == 0.0, ADAM_EPS, params)
+        m_acc = jnp.zeros_like(params)
+        v_acc = jnp.zeros_like(params)
+
+        t0 = time.monotonic()
+        for i in range(1, max_iter + 1):
+            alpha = distributed_cho_solve(
+                self.mesh, self.l_sharded, self.resid[:, None], self.block
+            )[:, 0]
+            scale = float(self.resid @ alpha) / self.n
+
+            # exact data-fit terms via streamed dK matvec
+            dk_alpha = streamed_grad_matvec(
+                self.kernel, self.x, self.n, alpha, method=self.method
+            )  # (p, cap)
+            data_fit = dk_alpha @ alpha  # (p,)
+
+            # Hutchinson: tr(K^-1 dK_p) ~ mean_z (K^-1 z).(dK_p z)
+            kinv_z = distributed_cho_solve(
+                self.mesh, self.l_sharded, probes, self.block
+            )  # (cap, s)
+            dk_z = streamed_grad_matvec(
+                self.kernel, self.x, self.n, probes, method=self.method
+            )  # (p, cap, s)
+            complexity = jnp.mean(
+                jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1
+            )
+
+            grads = (data_fit / scale - complexity) / 2.0
+
+            m_acc = BETA1 * m_acc + (1 - BETA1) * grads
+            v_acc = BETA2 * v_acc + (1 - BETA2) * grads * grads
+            mb = m_acc / (1 - BETA1**i)
+            vb = v_acc / (1 - BETA2**i)
+            delta = LEARNING_RATE * mb / (jnp.sqrt(vb) + ADAM_EPS)
+            progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
+            params = params * (1.0 + delta)
+
+            kernel = self.kernel.with_params(params)
+            kernel = kernel.rescale(scale)
+            self.noise = self.noise * scale
+            self.kernel = kernel
+            params = kernel.get_params()
+            self._factor()
+
+            if (not progress) or (time.monotonic() - t0 > max_time):
+                break

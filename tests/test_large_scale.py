@@ -1,0 +1,92 @@
+"""Large-scale distributed GP: sharded solves and the Hutchinson-trace fit
+must agree with the single-device engine at overlapping sizes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import friedrich_tpu as ft
+import friedrich_tpu.kernels as fk
+import friedrich_tpu.priors as fp
+from friedrich_tpu.ops.covariance import gradient_covariances_padded
+from friedrich_tpu.ops.streamed_matvec import streamed_grad_matvec
+from friedrich_tpu.parallel.large_scale import LargeScaleGP
+from friedrich_tpu.parallel.mesh import make_matrix_mesh
+
+RNG = np.random.default_rng(31)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _data(n=160, d=2):
+    x = jnp.asarray(RNG.normal(size=(n, d)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.1 * RNG.normal(size=n))
+    return x, y
+
+
+def test_streamed_grad_matvec_matches_dense():
+    x, _ = _data(96)
+    kern = fk.SquaredExp(ls=0.8, ampl=1.3)
+    cap = 96
+    v = jnp.asarray(RNG.normal(size=(cap, 3)))
+    want = jnp.einsum(
+        "pij,jm->pim", gradient_covariances_padded(kern, x, 80, method="gram"), v
+    )
+    got = streamed_grad_matvec(kern, x, 80, v, block=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11)
+
+
+def test_large_scale_predict_matches_reference_engine():
+    x, y = _data()
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.Matern2(ls=1.1, ampl=0.9), fp.ConstantPrior(c=0.2), 0.25, x, y,
+        block=16,
+    )
+    ref = ft.GaussianProcess.new(
+        fp.ConstantPrior(c=0.2), fk.Matern2(ls=1.1, ampl=0.9), 0.25, None, x, y
+    )
+    xq = jnp.asarray(RNG.normal(size=(7, 2)))
+    m1, v1 = big.predict_mean_variance(xq)
+    m2, v2 = ref.predict_mean_variance(xq)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(big.predict(xq)), np.asarray(m2), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        big.log_marginal_likelihood(), ref.log_marginal_likelihood(), rtol=1e-9
+    )
+
+
+def test_large_scale_fit_improves_lml():
+    x, y = _data(n=120)
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.0), fp.ZeroPrior(), 0.3, x, y, block=16
+    )
+    before = big.log_marginal_likelihood()
+    big.fit_scaled(max_iter=10, convergence_fraction=1e-12, num_probes=8)
+    after = big.log_marginal_likelihood()
+    assert np.isfinite(after)
+    assert after > before
+
+
+def test_large_scale_capacity_rounding():
+    # n not divisible by device count: capacity padded up, results unchanged
+    x, y = _data(n=150)  # 150 % 8 != 0
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.0), fp.ZeroPrior(), 0.3, x, y, block=16
+    )
+    ref = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.3, None, x, y
+    )
+    xq = jnp.asarray(RNG.normal(size=(4, 2)))
+    np.testing.assert_allclose(
+        np.asarray(big.predict(xq)), np.asarray(ref.predict(xq)),
+        rtol=1e-9, atol=1e-11,
+    )
