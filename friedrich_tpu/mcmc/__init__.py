@@ -4,6 +4,7 @@ MCMC). Exact-LML targets, chain-parallel HMC/NUTS, diagnostics."""
 from .diagnostics import ess, rhat, summary
 from .hmc import HMCResult, sample_hmc
 from .logprob import initial_theta, make_hyperparam_logprob
+from .nuts import NUTSResult, sample_nuts
 
 
 def sample_hyperparameters(
@@ -12,17 +13,19 @@ def sample_hyperparameters(
     num_warmup: int = 300,
     num_samples: int = 500,
     num_chains: int = 4,
+    sampler: str = "nuts",
     **kwargs,
 ):
     """Posterior over log-hyperparameters of a trained GP.
 
-    Accepts a ``GaussianProcess`` or a raw ``GPState``; returns an
-    :class:`HMCResult` whose samples are log([kernel params..., noise]).
+    Accepts a ``GaussianProcess`` or a raw ``GPState``; ``sampler`` is
+    "nuts" (default) or "hmc". Samples are log([kernel params..., noise]).
     """
     state = getattr(gp_or_state, "state", gp_or_state)
     logp = make_hyperparam_logprob(state)
     theta0 = initial_theta(state)
-    return sample_hmc(
+    fn = sample_nuts if sampler == "nuts" else sample_hmc
+    return fn(
         logp,
         theta0,
         key,
@@ -39,6 +42,8 @@ __all__ = [
     "summary",
     "HMCResult",
     "sample_hmc",
+    "NUTSResult",
+    "sample_nuts",
     "initial_theta",
     "make_hyperparam_logprob",
     "sample_hyperparameters",

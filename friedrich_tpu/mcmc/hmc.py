@@ -68,12 +68,20 @@ def sample_hmc(
     num_leapfrog: int = 16,
     init_step_size: float = 0.1,
     jitter: float = 0.2,
+    pool_mean=None,
+    pool_sum=None,
 ) -> HMCResult:
     """Run ``num_chains`` HMC chains; returns post-warmup draws.
 
     ``init_theta``: (dim,) start point (chains are jittered around it) or
     (chains, dim) explicit per-chain starts.
+
+    ``pool_mean`` / ``pool_sum`` pool warmup statistics across a sharded
+    chain axis (``lax.pmean``/``lax.psum`` under shard_map); default:
+    local-only (identity).
     """
+    pool_mean = pool_mean or (lambda v: v)
+    pool_sum = pool_sum or (lambda v: v)
     dim = init_theta.shape[-1]
     dtype = init_theta.dtype
     val_grad = jax.value_and_grad(logp)
@@ -117,7 +125,7 @@ def sample_hmc(
         eps = jnp.exp(log_eps)
         theta, logp_v, acc = chain_step(theta, logp_v, eps, inv_mass_init, ks)
         # pooled acceptance across chains (psum when chain axis is sharded)
-        acc_mean = jnp.mean(acc)
+        acc_mean = pool_mean(jnp.mean(acc))
         # dual averaging (Hoffman & Gelman 2014, eq. 6)
         t = i.astype(dtype) + 1.0
         h_bar = (1.0 - 1.0 / (t + DA_T0)) * h_bar + (TARGET_ACCEPT - acc_mean) / (
@@ -128,13 +136,13 @@ def sample_hmc(
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
         # Welford over the second half of warmup, pooled across chains
         in_window = i >= (num_warmup // 2)
-        cnt = w_cnt + jnp.where(in_window, theta.shape[0], 0)
+        cnt = w_cnt + jnp.where(in_window, pool_sum(jnp.asarray(theta.shape[0], dtype)), 0.0)
         flat = theta  # (chains, dim)
         delta = flat - w_mean[None, :]
         upd = jnp.where(in_window, 1.0, 0.0)
-        w_mean = w_mean + upd * jnp.sum(delta, axis=0) / jnp.maximum(cnt, 1)
+        w_mean = w_mean + upd * pool_sum(jnp.sum(delta, axis=0)) / jnp.maximum(cnt, 1)
         delta2 = flat - w_mean[None, :]
-        w_m2 = w_m2 + upd * jnp.sum(delta * delta2, axis=0)
+        w_m2 = w_m2 + upd * pool_sum(jnp.sum(delta * delta2, axis=0))
         return (theta, logp_v, log_eps, log_eps_bar, h_bar, w_mean, w_m2, cnt), None
 
     inv_mass_init = jnp.ones((dim,), dtype=dtype)

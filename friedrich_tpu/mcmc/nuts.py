@@ -1,0 +1,377 @@
+"""No-U-Turn Sampler (iterative, multinomial), jit/vmap-native.
+
+Net-new capability (BASELINE config 4). Implementation notes:
+
+- **Iterative tree building** with fixed-size checkpoint buffers instead of
+  recursion (TPU-compatible: no dynamic call tree). Within a doubling of
+  size 2^k, leaf ``a`` (even) is checkpointed at slot ctz(a) (slot D for
+  a=0); at leaf ``i``, every aligned power-of-two block ending at ``i`` is
+  U-turn-checked against its start checkpoint — exactly the set of
+  subtree checks the recursive algorithm performs. A slot is overwritten
+  only after its last use (first new leaf with the same ctz appears one
+  step after the old block's largest end).
+- **Multinomial sampling** over the trajectory (Betancourt 2017): within a
+  subtree, reservoir-sample proposals with probability
+  ``exp(logw_leaf - logsumexp)``; across the doubling merge, biased
+  progressive (``min(1, w_new/w_old)``) like Stan.
+- Generalized U-turn criterion with diagonal mass:
+  turn iff ``dz . (inv_mass r_minus) < 0`` or ``dz . (inv_mass r_plus) < 0``.
+- Divergence when the energy error exceeds 1000 (Stan's default).
+- Dual-averaging warmup on the trajectory-averaged acceptance statistic,
+  pooled across vmapped chains (a psum when the chain axis is sharded);
+  Welford diagonal mass from the second warmup half — shared with the HMC
+  module's adaptation.
+
+Chains vmap over everything; one chain's transition is a pair of nested
+``lax.while_loop``s (doublings x leaves) with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hmc import DA_GAMMA, DA_KAPPA, DA_T0, TARGET_ACCEPT
+
+Array = jnp.ndarray
+
+MAX_DELTA_ENERGY = 1000.0
+
+
+class NUTSResult(NamedTuple):
+    samples: Array  # (num_samples, chains, dim)
+    accept_prob: Array  # (num_samples, chains) trajectory-averaged alpha
+    step_size: Array
+    inv_mass: Array
+    tree_depth: Array  # (num_samples, chains)
+    divergent: Array  # (num_samples, chains) bool
+
+
+def _ctz(i):
+    """Count trailing zeros of a positive int32 via popcount((i & -i) - 1)."""
+    return jax.lax.population_count((i & -i) - 1)
+
+
+def _leapfrog(val_grad, z, r, g, eps, inv_mass):
+    r = r + 0.5 * eps * g
+    z = z + eps * inv_mass * r
+    logp, g = val_grad(z)
+    r = r + 0.5 * eps * g
+    return z, r, logp, g
+
+
+def _make_transition(logp: Callable, max_depth: int):
+    val_grad = jax.value_and_grad(logp)
+
+    def energy(logp_v, r, inv_mass):
+        return -logp_v + 0.5 * jnp.sum(r * r * inv_mass)
+
+    def transition(rng, z0, logp0, g0, eps, inv_mass):
+        dim = z0.shape[0]
+        dtype = z0.dtype
+        r_key, doubling_key = jax.random.split(rng)
+        r0 = jax.random.normal(r_key, (dim,), dtype) / jnp.sqrt(inv_mass)
+        h0 = energy(logp0, r0, inv_mass)
+
+        # tree state: edges, proposal, multinomial weight, alpha stats
+        class_state = dict(
+            z_minus=z0, r_minus=r0, g_minus=g0,
+            z_plus=z0, r_plus=r0, g_plus=g0,
+            z_prop=z0, logp_prop=logp0, g_prop=g0,
+            log_weight=jnp.asarray(0.0, dtype),  # log sum of exp(h0 - h)
+            sum_alpha=jnp.asarray(0.0, dtype),
+            n_alpha=jnp.asarray(0.0, dtype),
+            depth=jnp.asarray(0, jnp.int32),
+            turning=jnp.asarray(False),
+            divergent=jnp.asarray(False),
+            key=doubling_key,
+        )
+
+        def is_turning(z_m, r_m, z_p, r_p):
+            dz = z_p - z_m
+            return (jnp.dot(dz, inv_mass * r_m) < 0) | (
+                jnp.dot(dz, inv_mass * r_p) < 0
+            )
+
+        def build_subtree(key, z_edge, r_edge, g_edge, direction, depth):
+            """Simulate 2^depth leaves from the edge in ``direction``.
+
+            Returns new edge, subtree proposal (multinomial within the
+            subtree), subtree log-weight, turning/divergence flags, alpha
+            stats."""
+            num_leaves = jnp.asarray(2, jnp.int32) ** depth
+            eps_d = eps * direction.astype(dtype)
+
+            ckpt_z = jnp.zeros((max_depth + 1, dim), dtype)
+            ckpt_r = jnp.zeros((max_depth + 1, dim), dtype)
+
+            init = dict(
+                i=jnp.asarray(0, jnp.int32),
+                z=z_edge, r=r_edge, g=g_edge, logp=jnp.asarray(0.0, dtype),
+                z_first=z_edge, r_first=r_edge, g_first=g_edge,
+                z_prop=z_edge, logp_prop=jnp.asarray(-jnp.inf, dtype),
+                g_prop=g_edge,
+                log_weight=jnp.asarray(-jnp.inf, dtype),
+                sum_alpha=jnp.asarray(0.0, dtype),
+                turning=jnp.asarray(False),
+                divergent=jnp.asarray(False),
+                ckpt_z=ckpt_z, ckpt_r=ckpt_r,
+                key=key,
+            )
+
+            def leaf_cond(s):
+                return (s["i"] < num_leaves) & (~s["turning"]) & (~s["divergent"])
+
+            def leaf_body(s):
+                i = s["i"]
+                z, r, logp_v, g = _leapfrog(
+                    val_grad, s["z"], s["r"], s["g"], eps_d, inv_mass
+                )
+                h = energy(logp_v, r, inv_mass)
+                delta = h - h0
+                divergent = (~jnp.isfinite(h)) | (delta > MAX_DELTA_ENERGY)
+                logw = jnp.where(jnp.isfinite(h), -delta, -jnp.inf)
+                alpha = jnp.minimum(1.0, jnp.exp(-delta))
+                alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+
+                # remember the first leaf (subtree "minus" edge in this dir)
+                first = i == 0
+                z_first = jnp.where(first, z, s["z_first"])
+                r_first = jnp.where(first, r, s["r_first"])
+                g_first = jnp.where(first, g, s["g_first"])
+
+                # multinomial reservoir within the subtree
+                new_logsum = jnp.logaddexp(s["log_weight"], logw)
+                key, sub = jax.random.split(s["key"])
+                take = jnp.log(
+                    jax.random.uniform(sub, (), dtype)
+                ) < (logw - new_logsum)
+                z_prop = jnp.where(take, z, s["z_prop"])
+                logp_prop = jnp.where(take, logp_v, s["logp_prop"])
+                g_prop = jnp.where(take, g, s["g_prop"])
+
+                # checkpoint even leaves at slot ctz(i) (slot max_depth for 0)
+                slot = jnp.where(i == 0, max_depth, _ctz(jnp.maximum(i, 1)))
+                is_even = (i % 2) == 0
+                ckpt_z = jnp.where(
+                    is_even,
+                    s["ckpt_z"].at[slot].set(z),
+                    s["ckpt_z"],
+                )
+                ckpt_r = jnp.where(
+                    is_even,
+                    s["ckpt_r"].at[slot].set(r),
+                    s["ckpt_r"],
+                )
+
+                # U-turn checks for every aligned block ending at leaf i
+                def check_k(k, turning):
+                    size = jnp.asarray(2, jnp.int32) ** k
+                    applies = ((i + 1) % size == 0) & (i % 2 == 1)
+                    a = i + 1 - size
+                    slot_a = jnp.where(a == 0, max_depth, _ctz(jnp.maximum(a, 1)))
+                    z_a = ckpt_z[slot_a]
+                    r_a = ckpt_r[slot_a]
+                    # orient minus/plus by direction: the earlier leaf is
+                    # "minus" when going forward, "plus" when backward
+                    fwd = direction > 0
+                    t = jnp.where(
+                        fwd,
+                        is_turning(z_a, r_a, z, r),
+                        is_turning(z, r, z_a, r_a),
+                    )
+                    return turning | (applies & t)
+
+                turning = lax.fori_loop(
+                    1, max_depth + 1, check_k, jnp.asarray(False)
+                )
+
+                return dict(
+                    i=i + 1, z=z, r=r, g=g, logp=logp_v,
+                    z_first=z_first, r_first=r_first, g_first=g_first,
+                    z_prop=z_prop, logp_prop=logp_prop, g_prop=g_prop,
+                    log_weight=new_logsum,
+                    sum_alpha=s["sum_alpha"] + alpha,
+                    turning=turning,
+                    divergent=s["divergent"] | divergent,
+                    ckpt_z=ckpt_z, ckpt_r=ckpt_r,
+                    key=key,
+                )
+
+            out = lax.while_loop(leaf_cond, leaf_body, init)
+            return out
+
+        def doubling_cond(s):
+            return (
+                (s["depth"] < max_depth)
+                & (~s["turning"])
+                & (~s["divergent"])
+            )
+
+        def doubling_body(s):
+            key, dir_key, merge_key, tree_key = jax.random.split(s["key"], 4)
+            go_right = jax.random.bernoulli(dir_key)
+            direction = jnp.where(go_right, 1, -1).astype(jnp.int32)
+            z_edge = jnp.where(go_right, s["z_plus"], s["z_minus"])
+            r_edge = jnp.where(go_right, s["r_plus"], s["r_minus"])
+            g_edge = jnp.where(go_right, s["g_plus"], s["g_minus"])
+
+            sub = build_subtree(
+                tree_key, z_edge, r_edge, g_edge, direction, s["depth"]
+            )
+
+            # update the outer edge that moved
+            z_minus = jnp.where(go_right, s["z_minus"], sub["z"])
+            r_minus = jnp.where(go_right, s["r_minus"], sub["r"])
+            g_minus = jnp.where(go_right, s["g_minus"], sub["g"])
+            z_plus = jnp.where(go_right, sub["z"], s["z_plus"])
+            r_plus = jnp.where(go_right, sub["r"], s["r_plus"])
+            g_plus = jnp.where(go_right, sub["g"], s["g_plus"])
+
+            ok = (~sub["turning"]) & (~sub["divergent"])
+            # biased progressive merge (Stan): accept the subtree proposal
+            # with prob min(1, w_sub / w_old)
+            log_ratio = sub["log_weight"] - s["log_weight"]
+            take = ok & (
+                jnp.log(jax.random.uniform(merge_key, (), z0.dtype))
+                < log_ratio
+            )
+            z_prop = jnp.where(take, sub["z_prop"], s["z_prop"])
+            logp_prop = jnp.where(take, sub["logp_prop"], s["logp_prop"])
+            g_prop = jnp.where(take, sub["g_prop"], s["g_prop"])
+            log_weight = jnp.where(
+                ok, jnp.logaddexp(s["log_weight"], sub["log_weight"]),
+                s["log_weight"],
+            )
+
+            # whole-trajectory U-turn check after a successful merge
+            turning_full = is_turning(z_minus, r_minus, z_plus, r_plus)
+
+            return dict(
+                z_minus=z_minus, r_minus=r_minus, g_minus=g_minus,
+                z_plus=z_plus, r_plus=r_plus, g_plus=g_plus,
+                z_prop=z_prop, logp_prop=logp_prop, g_prop=g_prop,
+                log_weight=log_weight,
+                sum_alpha=s["sum_alpha"] + sub["sum_alpha"],
+                n_alpha=s["n_alpha"] + sub["i"].astype(dtype),
+                depth=s["depth"] + 1,
+                turning=sub["turning"] | turning_full,
+                divergent=s["divergent"] | sub["divergent"],
+                key=key,
+            )
+
+        out = lax.while_loop(doubling_cond, doubling_body, class_state)
+        accept_stat = out["sum_alpha"] / jnp.maximum(out["n_alpha"], 1.0)
+        _, g_new = val_grad(out["z_prop"])  # refresh gradient for next step
+        return (
+            out["z_prop"], out["logp_prop"], g_new,
+            accept_stat, out["depth"], out["divergent"],
+        )
+
+    return transition
+
+
+def sample_nuts(
+    logp: Callable[[Array], Array],
+    init_theta: Array,
+    key: jax.Array,
+    num_warmup: int = 300,
+    num_samples: int = 500,
+    num_chains: int = 4,
+    max_depth: int = 8,
+    init_step_size: float = 0.1,
+    pool_mean=None,
+    pool_sum=None,
+) -> NUTSResult:
+    """Run vmapped NUTS chains with pooled dual-averaging warmup.
+
+    ``pool_mean`` / ``pool_sum`` pool warmup statistics across a sharded
+    chain axis (``lax.pmean``/``lax.psum`` under shard_map)."""
+    pool_mean = pool_mean or (lambda v: v)
+    pool_sum = pool_sum or (lambda v: v)
+    dim = init_theta.shape[-1]
+    dtype = init_theta.dtype
+    val_grad = jax.value_and_grad(logp)
+    transition = _make_transition(logp, max_depth)
+    vtrans = jax.vmap(transition, in_axes=(0, 0, 0, 0, None, None))
+
+    if init_theta.ndim == 1:
+        key, sub = jax.random.split(key)
+        theta0 = init_theta[None, :] + 0.1 * jax.random.normal(
+            sub, (num_chains, dim), dtype
+        )
+    else:
+        theta0 = init_theta
+    logp0, g0 = jax.vmap(val_grad)(theta0)
+
+    mu = jnp.log(10.0 * init_step_size)
+    inv_mass_init = jnp.ones((dim,), dtype)
+
+    def warmup_step(carry, inputs):
+        i, k = inputs
+        theta, logp_v, g, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_cnt = carry
+        ks = jax.random.split(k, theta.shape[0])
+        eps = jnp.exp(log_eps)
+        theta, logp_v, g, alpha, _, _ = vtrans(
+            ks, theta, logp_v, g, eps, inv_mass_init
+        )
+        acc_mean = pool_mean(jnp.mean(alpha))
+        t = i.astype(dtype) + 1.0
+        h_bar = (1.0 - 1.0 / (t + DA_T0)) * h_bar + (TARGET_ACCEPT - acc_mean) / (
+            t + DA_T0
+        )
+        log_eps = mu - jnp.sqrt(t) / DA_GAMMA * h_bar
+        w = t ** (-DA_KAPPA)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        in_window = i >= (num_warmup // 2)
+        cnt = w_cnt + jnp.where(in_window, pool_sum(jnp.asarray(theta.shape[0], dtype)), 0.0)
+        delta = theta - w_mean[None, :]
+        upd = jnp.where(in_window, 1.0, 0.0)
+        w_mean = w_mean + upd * pool_sum(jnp.sum(delta, axis=0)) / jnp.maximum(cnt, 1)
+        delta2 = theta - w_mean[None, :]
+        w_m2 = w_m2 + upd * pool_sum(jnp.sum(delta * delta2, axis=0))
+        return (
+            theta, logp_v, g, log_eps, log_eps_bar, h_bar, w_mean, w_m2, cnt
+        ), None
+
+    key, kw = jax.random.split(key)
+    warm_keys = jax.random.split(kw, num_warmup)
+    carry0 = (
+        theta0, logp0, g0,
+        jnp.log(jnp.asarray(init_step_size, dtype)),
+        jnp.log(jnp.asarray(init_step_size, dtype)),
+        jnp.asarray(0.0, dtype),
+        jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    (theta, logp_v, g, _, log_eps_bar, _, w_mean, w_m2, w_cnt), _ = lax.scan(
+        warmup_step, carry0, (jnp.arange(num_warmup), warm_keys)
+    )
+    step_size = jnp.exp(log_eps_bar)
+    var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
+    inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
+
+    def sample_step(carry, k):
+        theta, logp_v, g = carry
+        ks = jax.random.split(k, theta.shape[0])
+        theta, logp_v, g, alpha, depth, div = vtrans(
+            ks, theta, logp_v, g, step_size, inv_mass
+        )
+        return (theta, logp_v, g), (theta, alpha, depth, div)
+
+    key, ks = jax.random.split(key)
+    sample_keys = jax.random.split(ks, num_samples)
+    (_, _, _), (samples, alphas, depths, divs) = lax.scan(
+        sample_step, (theta, logp_v, g), sample_keys
+    )
+    return NUTSResult(
+        samples=samples,
+        accept_prob=alphas,
+        step_size=step_size,
+        inv_mass=inv_mass,
+        tree_depth=depths,
+        divergent=divs,
+    )

@@ -157,11 +157,14 @@ def fit_kernel_noise(
     max_iter: int = DEFAULT_MAX_ITER,
     convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
     max_time: float = DEFAULT_MAX_TIME,
+    fit_log=None,
 ) -> GPState:
     """Run the ADAM fit until convergence / max_iter / max_time.
 
     Dispatches on ``kernel.is_scalable`` exactly like ``fit_parameters``
-    (``gaussian_process/mod.rs:434-444``).
+    (``mod.rs:434-444``). Pass a :class:`~friedrich_tpu.utils.fitlog.FitLog`
+    as ``fit_log`` for structured per-iteration records (the observability
+    the reference left as commented-out prints, ``optimizer.rs:145-148``).
     """
     scalable = state.kernel.is_scalable
     kparams = _init_params(state.kernel.get_params())
@@ -181,6 +184,12 @@ def fit_kernel_noise(
             raise CholeskyError(
                 "Cholesky decomposition failed during hyperparameter fitting; "
                 "consider setting `cholesky_epsilon`."
+            )
+        if fit_log is not None:
+            fit_log.log(
+                iteration=i,
+                params=[float(v) for v in adam.params],
+                noise=float(state.noise),
             )
         if (not bool(progress)) or (time.monotonic() - t0 > max_time):
             break

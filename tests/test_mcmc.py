@@ -84,6 +84,7 @@ def test_gp_hyperparameter_posterior_recovers_scale():
         num_warmup=300,
         num_samples=400,
         num_chains=2,
+        sampler="hmc",
         num_leapfrog=12,
     )
     stats = summary(res.samples)
@@ -93,3 +94,101 @@ def test_gp_hyperparameter_posterior_recovers_scale():
     # ls and noise are well-identified on this data; 2x tolerance in log-space
     assert abs(mean[0] - np.log(true_ls)) < np.log(2.5)
     assert abs(mean[2] - np.log(true_noise)) < np.log(2.5)
+
+
+def test_nuts_recovers_correlated_gaussian():
+    from friedrich_tpu.mcmc import sample_nuts
+
+    cov = jnp.asarray([[2.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(x):
+        return -0.5 * x @ prec @ x
+
+    res = sample_nuts(
+        logp,
+        jnp.zeros(2),
+        jax.random.PRNGKey(0),
+        num_warmup=500,
+        num_samples=2000,
+        num_chains=4,
+        max_depth=8,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(axis=0), [0.0, 0.0], atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), np.asarray(cov), atol=0.35)
+    assert float(np.mean(np.asarray(res.divergent))) < 0.05
+    assert np.all(np.asarray(rhat(res.samples)) < 1.1)
+    # adaptation hit a sensible step size and tree depth
+    assert 0.1 < float(res.step_size) < 5.0
+    assert float(np.mean(np.asarray(res.tree_depth))) >= 1.0
+
+
+def test_nuts_gp_hyperparameters():
+    n = 30
+    x = np.sort(RNG.uniform(-3, 3, size=(n, 1)), axis=0)
+    d = np.abs(x - x.T)
+    k = 2.0 * np.exp(-(d**2) / 2.0) + 0.15**2 * np.eye(n)
+    y = np.linalg.cholesky(k) @ RNG.normal(size=n)
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.3, None, x, y
+    )
+    res = sample_hyperparameters(
+        gp,
+        jax.random.PRNGKey(2),
+        num_warmup=200,
+        num_samples=200,
+        num_chains=2,
+        sampler="nuts",
+        max_depth=6,
+    )
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert float(np.mean(np.asarray(res.divergent))) < 0.2
+    mean = np.asarray(res.samples).reshape(-1, 3).mean(axis=0)
+    # log-lengthscale near log(1.0)=0 within a generous band
+    assert abs(mean[0]) < 1.5
+
+
+def test_sharded_nuts_on_chain_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from friedrich_tpu.mcmc.sharded import sample_nuts_sharded
+    from friedrich_tpu.parallel.mesh import make_chain_mesh
+
+    cov = jnp.asarray([[2.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(x):
+        return -0.5 * x @ prec @ x
+
+    mesh = make_chain_mesh(8)
+    res = sample_nuts_sharded(
+        mesh, logp, jnp.zeros(2), jax.random.PRNGKey(0),
+        num_chains=8, num_warmup=400, num_samples=800, max_depth=7,
+    )
+    assert res.samples.shape == (800, 8, 2)
+    draws = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(axis=0), [0.0, 0.0], atol=0.2)
+    np.testing.assert_allclose(np.cov(draws.T), np.asarray(cov), atol=0.4)
+    assert np.all(np.asarray(rhat(res.samples)) < 1.1)
+    # pooled adaptation produced one global step size
+    assert float(res.step_size) > 0
+
+
+def test_fitlog_and_summary_table():
+    from friedrich_tpu.utils.fitlog import FitLog, mcmc_summary_table
+    from friedrich_tpu.models.optimizer import fit_kernel_noise
+
+    x = RNG.normal(size=(10, 1))
+    y = np.sin(x[:, 0])
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.2, None, x, y
+    )
+    log = FitLog()
+    fit_kernel_noise(gp.state, max_iter=4, convergence_fraction=1e-12, fit_log=log)
+    assert len(log) == 4
+    assert all(np.isfinite(r.noise) for r in log.records)
+
+    samples = jnp.asarray(RNG.normal(size=(50, 4, 2)))
+    table = mcmc_summary_table(samples)
+    assert "rhat" in table and "ess" in table
