@@ -1,0 +1,167 @@
+"""ctypes loader for the native C++ CPU library (``native/``).
+
+Compiles ``native/friedrich_native.cpp`` on demand (g++, cached by source
+mtime) and exposes typed wrappers. This fills the slot the reference fills
+with Rust/nalgebra: a no-JAX dense f64 compute path used as an independent
+parity oracle and a CPU serving fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .utils.errors import CholeskyError, ConfigError
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SRC = _REPO_ROOT / "native" / "friedrich_native.cpp"
+_LIB = _REPO_ROOT / "native" / "libfriedrich_native.so"
+
+KERNEL_IDS = {
+    "SquaredExp": 0,
+    "Exponential": 1,
+    "Matern1": 2,
+    "Matern2": 3,
+    "RationalQuadratic": 4,
+    "Linear": 5,
+    "Polynomial": 6,
+    "HyperTan": 7,
+    "Multiquadric": 8,
+}
+
+_lib: Optional[ctypes.CDLL] = None
+
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", str(_LIB), str(_SRC),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if stale) the native library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_LIB))
+    i64 = ctypes.c_int64
+    lib.cov_matrix.argtypes = [ctypes.c_int, _f64p, _f64p, i64, _f64p, i64, i64, _f64p]
+    lib.train_cov.argtypes = [ctypes.c_int, _f64p, _f64p, i64, i64, ctypes.c_double, _f64p]
+    lib.cholesky_factor.argtypes = [_f64p, i64, ctypes.c_double, ctypes.c_int]
+    lib.cholesky_factor.restype = ctypes.c_int
+    lib.solve_lower.argtypes = [_f64p, _f64p, i64, i64]
+    lib.solve_lower_t.argtypes = [_f64p, _f64p, i64, i64]
+    lib.gp_predict_mean_var.argtypes = [
+        ctypes.c_int, _f64p, _f64p, i64, i64, _f64p, _f64p, _f64p, i64,
+        _f64p, _f64p, _f64p,
+    ]
+    _lib = lib
+    return lib
+
+
+def _kernel_id_and_params(kernel) -> tuple[int, np.ndarray]:
+    name = type(kernel).__name__
+    if name not in KERNEL_IDS:
+        raise ConfigError(
+            f"native backend supports simple kernels, not {name!r}"
+        )
+    params = np.asarray(kernel.get_params(), dtype=np.float64)
+    return KERNEL_IDS[name], np.ascontiguousarray(params)
+
+
+def cov_matrix(kernel, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    lib = load()
+    kid, p = _kernel_id_and_params(kernel)
+    x1 = np.ascontiguousarray(x1, dtype=np.float64)
+    x2 = np.ascontiguousarray(x2, dtype=np.float64)
+    out = np.empty((x1.shape[0], x2.shape[0]), dtype=np.float64)
+    lib.cov_matrix(kid, p, x1, x1.shape[0], x2, x2.shape[0], x1.shape[1], out)
+    return out
+
+
+def train_cov(kernel, x: np.ndarray, noise: float) -> np.ndarray:
+    lib = load()
+    kid, p = _kernel_id_and_params(kernel)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty((x.shape[0], x.shape[0]), dtype=np.float64)
+    lib.train_cov(kid, p, x, x.shape[0], x.shape[1], float(noise), out)
+    return out
+
+
+def cholesky(a: np.ndarray, eps: Optional[float] = None) -> np.ndarray:
+    """In-place-style lower Cholesky with nalgebra substitute semantics."""
+    lib = load()
+    a = np.array(a, dtype=np.float64, order="C")  # copy; factored in place
+    rc = lib.cholesky_factor(
+        a, a.shape[0], float(eps or 0.0), 1 if eps is not None else 0
+    )
+    if rc != 0:
+        raise CholeskyError()
+    return a
+
+
+def solve_lower(l_mat: np.ndarray, b: np.ndarray, trans: bool = False) -> np.ndarray:
+    lib = load()
+    l_mat = np.ascontiguousarray(l_mat, dtype=np.float64)
+    b2 = np.array(b, dtype=np.float64, order="C")
+    flat = b2.ndim == 1
+    if flat:
+        b2 = b2[:, None]
+    (lib.solve_lower_t if trans else lib.solve_lower)(
+        l_mat, b2, b2.shape[0], b2.shape[1]
+    )
+    return b2[:, 0] if flat else b2
+
+
+class NativeGP:
+    """Minimal CPU GP on the native library (no JAX): train + predict.
+
+    Mirrors the reference's core flow (``GaussianProcess::new`` +
+    ``predict_mean_variance``) for serving environments without an
+    accelerator runtime.
+    """
+
+    def __init__(self, kernel, prior, noise: float, x, y,
+                 eps: Optional[float] = None):
+        self.kernel = kernel
+        self.prior = prior
+        self.noise = float(noise)
+        self.x = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        prior_mean = np.asarray(prior.mean(self.x), dtype=np.float64)
+        self.resid = np.ascontiguousarray(
+            np.asarray(y, dtype=np.float64) - prior_mean
+        )
+        k = train_cov(kernel, self.x, self.noise)
+        self.l_mat = cholesky(k, eps)
+
+    def predict_mean_variance(self, xq) -> tuple[np.ndarray, np.ndarray]:
+        lib = load()
+        kid, p = _kernel_id_and_params(self.kernel)
+        xq = np.ascontiguousarray(np.asarray(xq, dtype=np.float64))
+        n, d = self.x.shape
+        m = xq.shape[0]
+        work = np.empty((n, m), dtype=np.float64)
+        mean = np.empty((m,), dtype=np.float64)
+        var = np.empty((m,), dtype=np.float64)
+        lib.gp_predict_mean_var(
+            kid, p, self.x, n, d, self.l_mat, self.resid, xq, m, work, mean, var
+        )
+        mean += np.asarray(self.prior.mean(xq), dtype=np.float64)
+        return mean, var
+
+    def predict(self, xq) -> np.ndarray:
+        return self.predict_mean_variance(xq)[0]
+
+    def predict_variance(self, xq) -> np.ndarray:
+        return self.predict_mean_variance(xq)[1]
