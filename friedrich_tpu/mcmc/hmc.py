@@ -70,8 +70,14 @@ def sample_hmc(
     jitter: float = 0.2,
     pool_mean=None,
     pool_sum=None,
+    step_size=None,
+    inv_mass=None,
 ) -> HMCResult:
     """Run ``num_chains`` HMC chains; returns post-warmup draws.
+
+    Pass ``step_size`` and ``inv_mass`` (e.g. from a previous run's result)
+    to SKIP warmup entirely — chain resumption: restart with
+    ``init_theta=prev.samples[-1]`` plus the saved adaptation.
 
     ``init_theta``: (dim,) start point (chains are jittered around it) or
     (chains, dim) explicit per-chain starts.
@@ -114,6 +120,13 @@ def sample_hmc(
     chain_step = jax.vmap(one_chain_step, in_axes=(0, 0, None, None, 0))
 
     logp0 = jax.vmap(logp)(theta0)
+
+    if step_size is not None and inv_mass is not None:
+        step_size = jnp.asarray(step_size, dtype)
+        inv_mass = jnp.asarray(inv_mass, dtype)
+        return _run_sampling(
+            chain_step, theta0, logp0, step_size, inv_mass, key, num_samples
+        )
 
     # ---- warmup: dual averaging + Welford mass ----
     mu = jnp.log(10.0 * init_step_size)
@@ -165,7 +178,12 @@ def sample_hmc(
     var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
     inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
 
-    # ---- sampling ----
+    return _run_sampling(
+        chain_step, theta, logp_v, step_size, inv_mass, key, num_samples
+    )
+
+
+def _run_sampling(chain_step, theta, logp_v, step_size, inv_mass, key, num_samples):
     def sample_step(carry, k):
         theta, logp_v = carry
         ks = jax.random.split(k, theta.shape[0])

@@ -285,8 +285,14 @@ def sample_nuts(
     init_step_size: float = 0.1,
     pool_mean=None,
     pool_sum=None,
+    step_size=None,
+    inv_mass=None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains with pooled dual-averaging warmup.
+
+    Pass ``step_size`` and ``inv_mass`` (from a previous result) to SKIP
+    warmup — chain resumption: restart with
+    ``init_theta=prev.samples[-1]`` plus the saved adaptation.
 
     ``pool_mean`` / ``pool_sum`` pool warmup statistics across a sharded
     chain axis (``lax.pmean``/``lax.psum`` under shard_map)."""
@@ -306,6 +312,13 @@ def sample_nuts(
     else:
         theta0 = init_theta
     logp0, g0 = jax.vmap(val_grad)(theta0)
+
+    if step_size is not None and inv_mass is not None:
+        return _run_sampling(
+            vtrans, theta0, logp0, g0,
+            jnp.asarray(step_size, dtype), jnp.asarray(inv_mass, dtype),
+            key, num_samples,
+        )
 
     mu = jnp.log(10.0 * init_step_size)
     inv_mass_init = jnp.ones((dim,), dtype)
@@ -354,6 +367,12 @@ def sample_nuts(
     var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
     inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
 
+    return _run_sampling(
+        vtrans, theta, logp_v, g, step_size, inv_mass, key, num_samples
+    )
+
+
+def _run_sampling(vtrans, theta, logp_v, g, step_size, inv_mass, key, num_samples):
     def sample_step(carry, k):
         theta, logp_v, g = carry
         ks = jax.random.split(k, theta.shape[0])

@@ -111,9 +111,10 @@ class GaussianProcessBuilder:
         return self
 
     def set_backend(self, backend: str) -> "GaussianProcessBuilder":
-        """'dense' (materialize K; small/medium n) or 'streamed' (fused
-        build+factor, K never materialized; large n)."""
-        if backend not in ("dense", "streamed"):
+        """'dense' (materialize K; small/medium n), 'streamed' (fused
+        build+factor, K never materialized), or 'tiled' (in-place
+        MAC-optimal factorization; fastest large-n single chip)."""
+        if backend not in ("dense", "streamed", "tiled"):
             raise ConfigError(f"unknown backend {backend!r}")
         self._backend = backend
         return self

@@ -59,7 +59,8 @@ class GPState:
     eps: Optional[float] = struct.field(pytree_node=False, default=None)
     method: str = struct.field(pytree_node=False, default="gram")
     # "dense": materialize K then factor (small/medium n);
-    # "streamed": fused build+factor, K never materialized (large n)
+    # "streamed": fused build+factor, K never materialized (memory-bound n);
+    # "tiled": in-place MAC-optimal tiled factorization (fast large n)
     backend: str = struct.field(pytree_node=False, default="dense")
 
     @property
@@ -89,6 +90,12 @@ def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
         from ..ops.streamed import streamed_cholesky_factor
 
         return streamed_cholesky_factor(
+            kernel, x_pad, n_arr, noise, eps=eps, method=method
+        )
+    if backend == "tiled":
+        from ..ops.tiled import tiled_cholesky_factor
+
+        return tiled_cholesky_factor(
             kernel, x_pad, n_arr, noise, eps=eps, method=method
         )
     k_pad = train_covariance_padded(kernel, x_pad, n_arr, noise, method=method)

@@ -1,0 +1,103 @@
+"""In-place tiled right-looking Cholesky (MAC-optimal large-n path).
+
+Complement to ``ops/streamed.py``: the streamed left-looking factorization
+never materializes K but pays ~3x the theoretical FLOPs (full-height panel
+downdates). This version materializes K ONCE (one buffer, transformed into
+L in place by the loop carry — no separate L allocation) and factors it
+with tile-granular loops at the optimal n^3/3 FLOP count:
+
+    for panel j:   Ld = chol(K[j,j])
+    for i > j:     L[i,j] = K[i,j] Ld^-T           (TRSM tile)
+    for i > j >= k: K[i,k] -= L[i,j] L[k,j]^T       (SYRK tile, lower only)
+
+All loops are ``fori_loop`` with traced bounds over fixed (B, B) tiles, so
+the compiled program is tiny regardless of n, every tile op is an MXU GEMM
+at arithmetic intensity ~B/6 flops/byte (compute-bound for B >= 1024), and
+XLA keeps the carry in place.
+
+Pick: streamed when HBM cannot hold K at all or the build should fuse with
+the factorization; tiled when one (n, n) buffer fits and FLOPs dominate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from .cholesky import _unblocked_cholesky_substitute
+
+Array = jnp.ndarray
+
+DEFAULT_TILE = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("block", "eps"), donate_argnums=(0,))
+def tiled_cholesky_inplace(k_mat: Array, eps: Optional[float] = None,
+                           block: int = DEFAULT_TILE) -> tuple[Array, Array]:
+    """Factor a (cap, cap) SPD matrix in place; cap % block == 0.
+
+    Returns (L, ok). The input buffer is donated (transformed into L).
+    """
+    cap = k_mat.shape[0]
+    num_panels = cap // block
+    dtype = k_mat.dtype
+
+    def panel(j, k):
+        j0 = j * block
+        z = jnp.zeros_like(j0)
+        diag = lax.dynamic_slice(k, (j0, j0), (block, block))
+        if eps is None:
+            ld = jnp.linalg.cholesky(diag)
+        else:
+            ld = _unblocked_cholesky_substitute(diag, eps)
+        k = lax.dynamic_update_slice(k, ld, (j0, j0))
+
+        def trsm(i, k):
+            i0 = i * block
+            a = lax.dynamic_slice(k, (i0, j0), (block, block))
+            lij = solve_triangular(ld, a.T, lower=True).T
+            return lax.dynamic_update_slice(k, lij, (i0, j0))
+
+        k = lax.fori_loop(j + 1, num_panels, trsm, k)
+
+        def syrk_i(i, k):
+            i0 = i * block
+            lij = lax.dynamic_slice(k, (i0, j0), (block, block))
+
+            def syrk_k(kk, k):
+                k0 = kk * block
+                lkj = lax.dynamic_slice(k, (k0, j0), (block, block))
+                a = lax.dynamic_slice(k, (i0, k0), (block, block))
+                a = a - jnp.dot(lij, lkj.T, preferred_element_type=dtype)
+                return lax.dynamic_update_slice(k, a, (i0, k0))
+
+            return lax.fori_loop(j + 1, i + 1, syrk_k, k)
+
+        k = lax.fori_loop(j + 1, num_panels, syrk_i, k)
+        del z
+        return k
+
+    k_mat = lax.fori_loop(0, num_panels, panel, k_mat)
+    l_mat = jnp.tril(k_mat)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+    return l_mat, ok
+
+
+def tiled_cholesky_factor(kernel, x_pad: Array, n, noise,
+                          eps: Optional[float] = None,
+                          block: int = DEFAULT_TILE,
+                          method: str = "gram") -> tuple[Array, Array]:
+    """Covariance build (one pass) + in-place tiled factorization."""
+    from .covariance import train_covariance_padded
+
+    cap = x_pad.shape[0]
+    b = min(block, cap)
+    while cap % b:
+        b -= 1
+    k_mat = train_covariance_padded(kernel, x_pad, n, noise, method=method)
+    return tiled_cholesky_inplace(k_mat, eps=eps, block=b)

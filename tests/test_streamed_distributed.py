@@ -67,3 +67,30 @@ def test_distributed_eps_and_uneven_mesh():
     got, ok = distributed_cholesky_factor(mesh, kern, x, n, 0.25, block=64)
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("block", [16, 48])
+def test_tiled_matches_dense(block):
+    from friedrich_tpu.ops.tiled import tiled_cholesky_factor
+
+    kern = fk.SquaredExp(ls=0.9, ampl=1.4)
+    x, n = _problem()
+    want, _ = factor(train_covariance_padded(kern, x, n, 0.3))
+    got, ok = tiled_cholesky_factor(kern, x, n, 0.3, block=block)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
+
+
+def test_tiled_backend_through_api():
+    import friedrich_tpu as ft
+    import friedrich_tpu.priors as fp
+
+    x = RNG.normal(size=(60, 2))
+    y = RNG.normal(size=60)
+    gp_t = ft.GaussianProcess.builder(x, y).set_backend("tiled").set_noise(0.2).train()
+    gp_d = ft.GaussianProcess.builder(x, y).set_noise(0.2).train()
+    xq = RNG.normal(size=(5, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp_t.predict(xq)), np.asarray(gp_d.predict(xq)),
+        rtol=1e-9, atol=1e-11,
+    )
