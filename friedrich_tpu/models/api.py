@@ -164,6 +164,30 @@ class GaussianProcess:
         xq, _ = self._query(inputs)
         return _predict_covariance(self._state, xq)
 
+    def predict_in_batches(
+        self, inputs, batch_size: int = 8192
+    ) -> tuple[Array, Array]:
+        """(mean, variance) for very large query sets, processed in fixed
+        chunks so the (n, m) covariance strip never exceeds
+        ``capacity x batch_size`` — the serving path for bulk scoring.
+        The last chunk is zero-padded to keep a single compiled program."""
+        xq, _ = self._query(inputs)
+        m = xq.shape[0]
+        means, variances = [], []
+        for lo in range(0, m, batch_size):
+            chunk = xq[lo : lo + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad and m > batch_size:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, xq.shape[1]), xq.dtype)]
+                )
+            mean, var = _predict_mean_variance(self._state, chunk)
+            if pad and m > batch_size:
+                mean, var = mean[:-pad], var[:-pad]
+            means.append(mean)
+            variances.append(var)
+        return jnp.concatenate(means), jnp.concatenate(variances)
+
     def sample_at(self, inputs) -> MultivariateNormal:
         """Posterior sampler at the given points (``mod.rs:371-392``)."""
         xq, adapter = self._query(inputs)
@@ -224,6 +248,22 @@ class GaussianProcess:
             max_iter=max_iter,
             convergence_fraction=convergence_fraction,
             max_time=max_time,
+        )
+
+    def fit_map(
+        self,
+        num_steps: int = 200,
+        learning_rate: float = 0.05,
+        prior_sigma: Optional[float] = None,
+    ) -> None:
+        """Corrected variant of ``fit_parameters``: maximize the EXACT log
+        marginal likelihood by autodiff (works for any kernel composition;
+        see ``models/map_fit.py``)."""
+        from .map_fit import fit_map as _fit_map
+
+        self._state = _fit_map(
+            self._state, num_steps=num_steps, learning_rate=learning_rate,
+            prior_sigma=prior_sigma,
         )
 
     # -- persistence -------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Exact-likelihood MAP/MLE hyperparameter fit (corrected variant).
+
+The replicated reference optimizer (``models/optimizer.py``) uses the
+reference's hand-derived per-kernel gradient formulas — including their
+quirks — and its multiplicative ADAM rules. This module is the corrected
+alternative the survey calls for: maximize the EXACT log marginal
+likelihood (optionally + log-hyperprior = MAP) by autodiff through the
+covariance build and Cholesky, with standard additive Adam (optax) in
+log-space. Works for every kernel (no hand-derived gradients needed,
+including compositions) and is immune to the reference's gradient quirks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..mcmc.logprob import make_hyperparam_logprob
+from ..utils.errors import CholeskyError
+from .gp import GPState, rebuild_cholesky
+
+Array = jnp.ndarray
+
+
+def fit_map(
+    state: GPState,
+    num_steps: int = 200,
+    learning_rate: float = 0.05,
+    prior_sigma: Optional[float] = None,
+    tol: float = 1e-6,
+) -> GPState:
+    """Fit kernel params + noise by maximizing exact LML (or the MAP
+    objective when ``prior_sigma`` is set). Returns the refitted state.
+    """
+    nb = state.kernel.nb_params
+    logp = make_hyperparam_logprob(
+        state, prior_sigma=prior_sigma if prior_sigma is not None else 1e6
+    )
+    theta = jnp.log(
+        jnp.abs(
+            jnp.concatenate(
+                [state.kernel.get_params(), jnp.asarray(state.noise)[None]]
+            )
+        )
+        + 1e-12
+    )
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(theta)
+
+    @jax.jit
+    def step(theta, opt_state):
+        loss, g = jax.value_and_grad(lambda t: -logp(t))(theta)
+        updates, opt_state = opt.update(g, opt_state)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, loss
+
+    prev = jnp.inf
+    for _ in range(num_steps):
+        theta, opt_state, loss = step(theta, opt_state)
+        if bool(jnp.abs(prev - loss) < tol):
+            break
+        prev = loss
+
+    raw = jnp.exp(theta)
+    kernel = state.kernel.with_params(raw[:nb])
+    state = state.replace(kernel=kernel, noise=raw[nb])
+    state, ok = rebuild_cholesky(state)
+    if not bool(ok):
+        raise CholeskyError(
+            "MAP fit ended at hyperparameters whose covariance is not PSD; "
+            "consider `cholesky_epsilon` or a hyperprior (prior_sigma)."
+        )
+    return state

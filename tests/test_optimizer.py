@@ -148,3 +148,36 @@ def test_default_full_pipeline_matches_oracle():
         gp.predict_variance(xq), ogp.predict_variance(xq), rtol=1e-6, atol=1e-8
     )
     np.testing.assert_allclose(gp.likelihood(), ogp.likelihood(), rtol=1e-6)
+
+
+def test_map_fit_improves_exact_lml_and_beats_noise_recovery():
+    from friedrich_tpu.models.map_fit import fit_map
+    from friedrich_tpu.models.gp import log_marginal_likelihood
+
+    n = 50
+    x = np.sort(RNG.uniform(-3, 3, size=(n, 1)), axis=0)
+    d = np.abs(x - x.T)
+    k = 2.0 * np.exp(-(d**2) / (2 * 0.7**2)) + 0.1**2 * np.eye(n)
+    y = np.linalg.cholesky(k) @ RNG.normal(size=n)
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.3, None, x, y
+    )
+    before = float(log_marginal_likelihood(gp.state))
+    gp.fit_map(num_steps=300)
+    after = float(log_marginal_likelihood(gp.state))
+    assert after > before
+    # fitted noise near the generating noise (log-space factor-2 band)
+    assert abs(np.log(gp.noise) - np.log(0.1)) < np.log(2.0)
+
+
+def test_map_fit_composed_kernel():
+    from friedrich_tpu.models.map_fit import fit_map
+    from friedrich_tpu.models.gp import log_marginal_likelihood
+
+    x = RNG.normal(size=(30, 2))
+    y = np.sin(x[:, 0]) + 0.1 * RNG.normal(size=30)
+    kern = fk.Matern2() * fk.RationalQuadratic() + fk.Linear(c=0.1)
+    gp = ft.GaussianProcess.new(fp.ZeroPrior(), kern, 0.3, None, x, y)
+    before = float(log_marginal_likelihood(gp.state))
+    state = fit_map(gp.state, num_steps=60)
+    assert float(log_marginal_likelihood(state)) > before
