@@ -8,11 +8,16 @@ distance matrix (one MXU GEMM) and a masked reduction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.distance import DIST, pairwise_features
 
 Array = jnp.ndarray
+
+#: Above this n the full n x n distance matrix is streamed in strips.
+_STREAM_THRESHOLD = 16384
 
 
 def fit_bandwidth_mean(x: Array, method: str = "gram") -> Array:
@@ -20,13 +25,33 @@ def fit_bandwidth_mean(x: Array, method: str = "gram") -> Array:
 
     Sums distances over unordered pairs i<j and divides by n(n-1)/2. The
     full symmetric distance matrix has zero diagonal, so the strict-triangle
-    sum is simply half the total sum.
+    sum is simply half the total sum. Large n streams the matrix in
+    (n, B) strips so memory stays O(n*B).
     """
     n = x.shape[0]
+    nb_pairs = (n * n - n) / 2.0
+    if n > _STREAM_THRESHOLD:
+        return _bandwidth_mean_streamed(x, method) / nb_pairs
     dist = pairwise_features(x, x, frozenset({DIST}), method=method)[DIST]
     total = jnp.sum(dist) / 2.0
-    nb_pairs = (n * n - n) / 2.0
     return total / nb_pairs
+
+
+def _bandwidth_mean_streamed(x: Array, method: str, block: int = 4096) -> Array:
+    n, d = x.shape
+    b = min(block, n)
+    while n % b:
+        b -= 1
+    num = n // b
+
+    def strip(j, acc):
+        j0 = j * b
+        xj = lax.dynamic_slice(x, (j0, jnp.zeros_like(j0)), (b, d))
+        dist = pairwise_features(x, xj, frozenset({DIST}), method=method)[DIST]
+        return acc + jnp.sum(dist)
+
+    total = lax.fori_loop(0, num, strip, jnp.asarray(0.0, x.dtype))
+    return total / 2.0
 
 
 def fit_amplitude_var(y: Array) -> Array:

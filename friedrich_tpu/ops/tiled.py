@@ -88,16 +88,42 @@ def tiled_cholesky_inplace(k_mat: Array, eps: Optional[float] = None,
     return l_mat, ok
 
 
+@functools.partial(jax.jit, static_argnames=("treedef", "block", "method"))
+def _build_cov_strips(leaves, treedef, x_pad, n, noise, block, method):
+    """Build the padded training covariance strip-by-strip into one buffer.
+
+    Peak memory = K + one (cap, B) strip — unlike the whole-matrix builder,
+    whose sqdist intermediate doubles the footprint (fatal at n=50k f32 on
+    a 16 GB chip)."""
+    from ..ops.streamed import _train_cov_panel
+
+    kernel = jax.tree_util.tree_unflatten(treedef, leaves)
+    cap, d = x_pad.shape
+    num_panels = cap // block
+
+    def panel(j, k):
+        j0 = j * block
+        xj = lax.dynamic_slice(x_pad, (j0, jnp.zeros_like(j0)), (block, d))
+        strip = _train_cov_panel(kernel, x_pad, xj, j0, n, noise, block, method)
+        return lax.dynamic_update_slice(k, strip, (jnp.zeros_like(j0), j0))
+
+    k0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
+    return lax.fori_loop(0, num_panels, panel, k0)
+
+
 def tiled_cholesky_factor(kernel, x_pad: Array, n, noise,
                           eps: Optional[float] = None,
                           block: int = DEFAULT_TILE,
                           method: str = "gram") -> tuple[Array, Array]:
-    """Covariance build (one pass) + in-place tiled factorization."""
-    from .covariance import train_covariance_padded
-
+    """Covariance build (strip-wise, low-peak-memory) + in-place tiled
+    factorization."""
     cap = x_pad.shape[0]
     b = min(block, cap)
     while cap % b:
         b -= 1
-    k_mat = train_covariance_padded(kernel, x_pad, n, noise, method=method)
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+    k_mat = _build_cov_strips(
+        tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
+        jnp.asarray(noise, x_pad.dtype), b, method,
+    )
     return tiled_cholesky_inplace(k_mat, eps=eps, block=b)

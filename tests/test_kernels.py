@@ -111,3 +111,18 @@ def test_heuristic_fit_matches_oracle():
 
 def test_gaussian_alias():
     assert fk.Gaussian is fk.SquaredExp
+
+
+def test_streamed_bandwidth_heuristic_matches_full():
+    from friedrich_tpu.kernels.heuristics import (
+        _bandwidth_mean_streamed,
+        fit_bandwidth_mean,
+    )
+    import jax.numpy as jnp
+
+    x = jnp.asarray(RNG.normal(size=(600, 3)))
+    full = float(fit_bandwidth_mean(x))
+    streamed = float(_bandwidth_mean_streamed(x, "gram", block=120)) / (
+        (600 * 599) / 2
+    )
+    np.testing.assert_allclose(streamed, full, rtol=1e-9)
