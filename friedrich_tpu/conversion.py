@@ -20,7 +20,7 @@ outputs are converted back with :func:`OutputAdapter.vector`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ distance matrix (one MXU GEMM) and a masked reduction.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

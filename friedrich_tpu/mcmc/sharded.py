@@ -15,7 +15,6 @@ process with 8 virtual devices (tests) and on a multi-host pod slice
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

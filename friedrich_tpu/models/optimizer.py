@@ -31,8 +31,6 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import struct

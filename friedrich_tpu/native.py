@@ -9,7 +9,6 @@ parity oracle and a CPU serving fallback.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

@@ -83,7 +83,11 @@ def tiled_cholesky_inplace(k_mat: Array, eps: Optional[float] = None,
         return k
 
     k_mat = lax.fori_loop(0, num_panels, panel, k_mat)
-    l_mat = jnp.tril(k_mat)
+    # mask the stale upper triangle in place (elementwise select aliases the
+    # loop carry buffer; jnp.tril at this size would double peak HBM)
+    rows = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    l_mat = jnp.where(rows >= cols, k_mat, jnp.zeros((), dtype))
     ok = jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
     return l_mat, ok
 

@@ -26,7 +26,6 @@ never straddle device boundaries — keeps ownership tests trivial).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -19,7 +19,6 @@ are local to each device, so the contribution sum is a psum too.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental.shard_map import shard_map

@@ -11,8 +11,6 @@ the semantics-defining reference path.)
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.lax import with_sharding_constraint
