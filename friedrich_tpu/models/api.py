@@ -250,6 +250,33 @@ class GaussianProcess:
             max_time=max_time,
         )
 
+    def set_hyperparameters(self, kernel=None, noise: Optional[float] = None,
+                            prior=None) -> None:
+        """Replace kernel/noise/prior and rebuild the factor (and residuals
+        when the prior changes).
+
+        The reference exposes these as public mutable fields
+        (``mod.rs:59-73``) but leaves the Cholesky factor stale on direct
+        mutation; here the model is always consistent."""
+        state = self._state
+        if prior is not None:
+            live = jnp.arange(state.capacity) < state.n
+            y_pad = state.resid + jnp.where(live, state.prior.mean(state.x), 0.0)
+            resid = jnp.where(live, y_pad - prior.mean(state.x), 0.0)
+            state = state.replace(prior=prior, resid=resid)
+        if kernel is not None:
+            state = state.replace(kernel=kernel)
+        if noise is not None:
+            if noise < 0:
+                raise ConfigError("noise must be non-negative")
+            state = state.replace(
+                noise=jnp.asarray(noise, state.resid.dtype)
+            )
+        state, ok = core.rebuild_cholesky(state)
+        if not bool(ok):
+            raise CholeskyError()
+        self._state = state
+
     def fit_map(
         self,
         num_steps: int = 200,

@@ -154,3 +154,32 @@ def test_dim_mismatch_raises():
     gp = ft.GaussianProcess.builder(README_X, README_Y).train()
     with pytest.raises(ft.ShapeError):
         gp.predict([[1.0, 2.0]])
+
+
+def test_set_hyperparameters_rebuilds_consistently():
+    x = RNG.normal(size=(15, 2))
+    y = RNG.normal(size=15)
+    gp = ft.GaussianProcess.new(fp.ZeroPrior(), fk.SquaredExp(), 0.2, None, x, y)
+    gp.set_hyperparameters(
+        kernel=fk.Matern2(ls=0.8, ampl=1.1), noise=0.3,
+        prior=fp.ConstantPrior(c=0.5),
+    )
+    ref = ft.GaussianProcess.new(
+        fp.ConstantPrior(c=0.5), fk.Matern2(ls=0.8, ampl=1.1), 0.3, None, x, y
+    )
+    xq = RNG.normal(size=(4, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp.predict(xq)), np.asarray(ref.predict(xq)), atol=1e-10
+    )
+    np.testing.assert_allclose(gp.likelihood(), ref.likelihood(), rtol=1e-9)
+
+
+def test_predict_in_batches_matches_unbatched():
+    x = RNG.normal(size=(30, 2))
+    y = RNG.normal(size=30)
+    gp = ft.GaussianProcess.new(fp.ZeroPrior(), fk.SquaredExp(), 0.2, None, x, y)
+    xq = RNG.normal(size=(77, 2))
+    mb, vb = gp.predict_in_batches(xq, batch_size=16)
+    m, v = gp.predict_mean_variance(jnp.asarray(xq))
+    np.testing.assert_array_equal(np.asarray(mb), np.asarray(m))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(v))
