@@ -28,10 +28,6 @@ Array = jnp.ndarray
 TILE = 256  # 2x MXU tile; good VMEM/compute balance for f32
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _feats_tile(kernel, x1_tile, x2_tile, dtype):
     """Pairwise features for one (TILE, d) x (TILE, d) pair of row blocks."""
     needs = kernel.needs
@@ -93,12 +89,6 @@ def _cov_kernel_body(
         k = jnp.where(rows < n, k, 0.0)
 
     out_ref[:] = k
-
-
-def _pad_rows(x: Array, rows: int) -> Array:
-    if x.shape[0] == rows:
-        return x
-    return jnp.zeros((rows, x.shape[1]), x.dtype).at[: x.shape[0]].set(x)
 
 
 @functools.partial(jax.jit, static_argnames=("treedef", "train_mode"))

@@ -3,10 +3,10 @@
 The covariance matrix, its gradients, the Cholesky factor, and K^-1 are
 constrained to a 2-D block layout over the (r, c) mesh; XLA's SPMD
 partitioner inserts the collectives. Prediction shards query rows
-data-parallel. (A hand-written distributed blocked Cholesky over ICI —
-panel broadcast + local TRSM + sharded SYRK — replaces the XLA-partitioned
-factorization in ``distributed_cholesky.py`` as it lands; this module is
-the semantics-defining reference path.)
+data-parallel. The hand-written distributed factorization/solves live in
+``distributed_cholesky.py`` / ``distributed_solve.py``; this module is the
+XLA-partitioned reference path the hand-written kernels are validated
+against, and the simplest way to run the full training step SPMD.
 """
 
 from __future__ import annotations
