@@ -66,6 +66,7 @@ class LargeScaleGP:
         eps: Optional[float] = None,
         block: int = 512,
         method: str = "gram",
+        capacity: Optional[int] = None,
     ):
         self.mesh = mesh
         self.kernel = kernel
@@ -74,9 +75,9 @@ class LargeScaleGP:
         self.method = method
         self.eps = eps
         n, d = x.shape
-        cap = n
+        cap = max(capacity or n, n)
         if cap % mesh.size:
-            cap = (n // mesh.size + 1) * mesh.size
+            cap = (cap // mesh.size + 1) * mesh.size
         self.n = n
         self.x = jnp.zeros((cap, d), x.dtype).at[:n].set(x)
         resid = y - prior.mean(x)
@@ -118,6 +119,35 @@ class LargeScaleGP:
         mean = self.prior.mean(xq) + w.T @ self.resid
         var = kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
         return mean, var
+
+    # -- incremental update -------------------------------------------------
+
+    def add_samples(self, x_new: Array, y_new: Array) -> None:
+        """O(n^2 k) distributed rank-k append (``add_samples`` at scale).
+
+        Requires pre-reserved capacity (``capacity=`` at construction);
+        growth at this scale means re-sharding, which is a rebuild.
+        """
+        from .distributed_append import distributed_cholesky_append
+
+        x_new = jnp.asarray(x_new, self.x.dtype)
+        y_new = jnp.asarray(y_new, self.resid.dtype)
+        k = x_new.shape[0]
+        cap = self.x.shape[0]
+        if self.n + k > cap:
+            raise ValueError(
+                f"capacity {cap} exceeded ({self.n}+{k}); construct with a "
+                f"larger `capacity` (re-sharded growth requires a rebuild)"
+            )
+        self.x = self.x.at[self.n : self.n + k].set(x_new)
+        self.resid = self.resid.at[self.n : self.n + k].set(
+            y_new - self.prior.mean(x_new)
+        )
+        self.l_sharded = distributed_cholesky_append(
+            self.mesh, self.l_sharded, self.kernel, self.x, self.n, x_new,
+            self.noise, eps=self.eps, block=self.block, method=self.method,
+        )
+        self.n += k
 
     # -- scores --------------------------------------------------------------
 

@@ -90,3 +90,28 @@ def test_large_scale_capacity_rounding():
         np.asarray(big.predict(xq)), np.asarray(ref.predict(xq)),
         rtol=1e-9, atol=1e-11,
     )
+
+
+def test_distributed_add_samples_matches_retrain():
+    # n=115, k=12 straddles a shard boundary (local_rows=20 at cap=160/8)
+    x, y = _data(n=115)
+    xn = jnp.asarray(RNG.normal(size=(12, 2)))
+    yn = jnp.asarray(RNG.normal(size=(12,)))
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.2), fp.ConstantPrior(c=0.1),
+        0.25, x, y, block=16, capacity=160,
+    )
+    big.add_samples(xn, yn)
+    assert big.n == 127
+    ref = ft.GaussianProcess.new(
+        fp.ConstantPrior(c=0.1), fk.SquaredExp(ls=1.0, ampl=1.2), 0.25, None,
+        jnp.concatenate([x, xn]), jnp.concatenate([y, yn]),
+    )
+    xq = jnp.asarray(RNG.normal(size=(6, 2)))
+    m1, v1 = big.predict_mean_variance(xq)
+    m2, v2 = ref.predict_mean_variance(xq)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8, atol=1e-11)
+    with pytest.raises(ValueError):
+        big.add_samples(jnp.zeros((100, 2)), jnp.zeros((100,)))

@@ -181,3 +181,33 @@ def test_map_fit_composed_kernel():
     before = float(log_marginal_likelihood(gp.state))
     state = fit_map(gp.state, num_steps=60)
     assert float(log_marginal_likelihood(state)) > before
+
+
+@pytest.mark.parametrize("kern,okern", [
+    (fk.Exponential(ls=1.0, ampl=1.0), orc.OExponential(1.0, 1.0)),
+    (fk.Matern2(ls=1.0, ampl=1.0), orc.OMatern2(1.0, 1.0)),
+], ids=["Exponential", "Matern2"])
+def test_baseline_config2_multidim_fitted(kern, okern):
+    """BASELINE config 2: multidimensional GP with exponential/Matern
+    kernels, fitted kernel+prior+noise — full parity vs the oracle."""
+    x = RNG.normal(size=(10, 3))
+    y = x @ np.array([0.5, -0.3, 0.8]) + 0.1 * RNG.normal(size=10)
+    gp = ft.GaussianProcess.new(
+        fp.ConstantPrior(c=0.0), kern, 0.25, None, x, y
+    )
+    ogp = orc.OracleGP(orc.OConstantPrior(0.0), okern, 0.25, x, y)
+    gp.fit_parameters(True, True, max_iter=15, convergence_fraction=1e-12)
+    ogp.fit_parameters(True, True, 15, 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(gp.kernel.get_params()), ogp.kern.get_parameters(), rtol=1e-6
+    )
+    np.testing.assert_allclose(gp.noise, ogp.noise, rtol=1e-6)
+    np.testing.assert_allclose(float(gp.prior.c), ogp.prior.c, rtol=1e-8)
+    xq = RNG.normal(size=(5, 3))
+    np.testing.assert_allclose(
+        np.asarray(gp.predict(xq)), ogp.predict(xq), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp.predict_variance(xq)), ogp.predict_variance(xq),
+        rtol=1e-6, atol=1e-8,
+    )
