@@ -60,7 +60,8 @@ class GPState:
     method: str = struct.field(pytree_node=False, default="gram")
     # "dense": materialize K then factor (small/medium n);
     # "streamed": fused build+factor, K never materialized (memory-bound n);
-    # "tiled": in-place MAC-optimal tiled factorization (fast large n)
+    # "tiled": in-place MAC-optimal tiled factorization;
+    # "hybrid": half-split streamed+TRSM+SYRK+tiled (fastest large n)
     backend: str = struct.field(pytree_node=False, default="dense")
 
     @property
@@ -96,6 +97,12 @@ def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
         from ..ops.tiled import tiled_cholesky_factor
 
         return tiled_cholesky_factor(
+            kernel, x_pad, n_arr, noise, eps=eps, method=method
+        )
+    if backend == "hybrid":
+        from ..ops.hybrid import hybrid_cholesky_factor
+
+        return hybrid_cholesky_factor(
             kernel, x_pad, n_arr, noise, eps=eps, method=method
         )
     k_pad = train_covariance_padded(kernel, x_pad, n_arr, noise, method=method)

@@ -94,3 +94,30 @@ def test_tiled_backend_through_api():
         np.asarray(gp_t.predict(xq)), np.asarray(gp_d.predict(xq)),
         rtol=1e-9, atol=1e-11,
     )
+
+
+@pytest.mark.parametrize("n", [70, 40, 96])
+def test_hybrid_matches_dense(n):
+    from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
+
+    kern = fk.Matern1(ls=0.9, ampl=1.2)
+    cap = 96
+    x = jnp.zeros((cap, 3)).at[:n].set(RNG.normal(size=(n, 3)))
+    want, _ = factor(train_covariance_padded(kern, x, n, 0.3))
+    got, ok = hybrid_cholesky_factor(kern, x, n, 0.3, block=16)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
+
+
+def test_hybrid_backend_through_api():
+    import friedrich_tpu as ft
+
+    x = RNG.normal(size=(64, 2))
+    y = RNG.normal(size=64)
+    gp_h = ft.GaussianProcess.builder(x, y).set_backend("hybrid").set_noise(0.2).train()
+    gp_d = ft.GaussianProcess.builder(x, y).set_noise(0.2).train()
+    xq = RNG.normal(size=(5, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp_h.predict(xq)), np.asarray(gp_d.predict(xq)),
+        rtol=1e-9, atol=1e-11,
+    )
