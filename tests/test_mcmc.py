@@ -192,3 +192,26 @@ def test_fitlog_and_summary_table():
     samples = jnp.asarray(RNG.normal(size=(50, 4, 2)))
     table = mcmc_summary_table(samples)
     assert "rhat" in table and "ess" in table
+
+
+def test_nuts_anisotropic_gaussian_5d():
+    """Second NUTS validation target: strongly anisotropic 5-d Gaussian
+    (condition number 1e4 before mass adaptation)."""
+    from friedrich_tpu.mcmc import sample_nuts
+
+    scales = jnp.asarray([0.01, 0.1, 1.0, 3.0, 10.0])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    res = sample_nuts(
+        logp, jnp.zeros(5), jax.random.PRNGKey(3),
+        num_warmup=800, num_samples=1500, num_chains=4, max_depth=9,
+    )
+    draws = np.asarray(res.samples).reshape(-1, 5)
+    std = draws.std(axis=0)
+    # mass adaptation must recover the per-dimension scales
+    np.testing.assert_allclose(std, np.asarray(scales), rtol=0.25)
+    np.testing.assert_allclose(draws.mean(axis=0) / np.asarray(scales),
+                               np.zeros(5), atol=0.2)
+    assert np.all(np.asarray(rhat(res.samples)) < 1.1)
