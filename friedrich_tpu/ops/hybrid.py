@@ -24,8 +24,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.linalg import solve_triangular
-
 from .streamed import _streamed_cholesky_impl
 from .tiled import tiled_cholesky_inplace
 
@@ -58,8 +56,11 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
     k21 = cross_covariance(kernel, x2, x1, method=method)
     k21 = jnp.where((rows2 < n) & (cols1 < n), k21, 0.0)
 
-    # L21 = K21 L11^-T  (one big TRSM)
-    l21 = solve_triangular(l11, k21.T, lower=True).T
+    # L21 = K21 L11^-T — loop-blocked TRSM (a monolithic solve_triangular
+    # with an h-wide RHS crashes the remote compiler at this size)
+    from .blocked_solve import _blocked_solve
+
+    l21 = _blocked_solve(l11, k21.T, block, False).T
 
     # S22 = K22 + noise^2 I (live) / identity (dead)  -  L21 L21^T
     k22 = cross_covariance(kernel, x2, x2, method=method)

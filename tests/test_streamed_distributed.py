@@ -121,3 +121,35 @@ def test_hybrid_backend_through_api():
         np.asarray(gp_h.predict(xq)), np.asarray(gp_d.predict(xq)),
         rtol=1e-9, atol=1e-11,
     )
+
+
+def test_blocked_solves_match_scipy():
+    from jax.scipy.linalg import cho_solve, solve_triangular
+    from friedrich_tpu.ops.blocked_solve import (
+        blocked_cho_solve,
+        blocked_solve_lower,
+        blocked_solve_lower_t,
+    )
+
+    kern = fk.SquaredExp(ls=0.9, ampl=1.4)
+    x, n = _problem()
+    l_mat, _ = factor(train_covariance_padded(kern, x, n, 0.3))
+    c = jnp.asarray(RNG.normal(size=(96, 5)))
+    np.testing.assert_allclose(
+        np.asarray(blocked_solve_lower(l_mat, c, 16)),
+        np.asarray(solve_triangular(l_mat, c, lower=True)), rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocked_solve_lower_t(l_mat, c, 16)),
+        np.asarray(solve_triangular(l_mat, c, lower=True, trans=1)), rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocked_cho_solve(l_mat, c, 16)),
+        np.asarray(cho_solve((l_mat, True), c)), rtol=1e-8,
+    )
+    # 1-D rhs path
+    v = jnp.asarray(RNG.normal(size=96))
+    np.testing.assert_allclose(
+        np.asarray(blocked_solve_lower(l_mat, v, 16)),
+        np.asarray(solve_triangular(l_mat, v, lower=True)), rtol=1e-9,
+    )
