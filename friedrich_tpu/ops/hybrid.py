@@ -34,6 +34,12 @@ Array = jnp.ndarray
     jax.jit, static_argnames=("treedef", "eps", "block", "method")
 )
 def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
+    """Memory-disciplined layout: ONE (cap, cap) carry holds the factor;
+    K21/K22 are built strip-by-strip from the inputs and consumed
+    immediately, so peak HBM = L + one strip + the h x h downdated block
+    (~L * 1.25) — n=50k f32 fits a 16 GB chip."""
+    from jax.scipy.linalg import solve_triangular
+
     from .covariance import cross_covariance
 
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
@@ -49,34 +55,79 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
     l11, ok1 = _streamed_cholesky_impl(
         leaves, treedef, x1, n1, noise, eps, block, method
     )
+    l_full = jnp.zeros((cap, cap), dtype=dtype)
+    l_full = lax.dynamic_update_slice(l_full, l11, (0, 0))
 
-    # K21 with live masking (off-diagonal: dead entries are plain zero)
-    rows2 = h + jnp.arange(h)[:, None]
+    del l11
+
+    # L21 rows are independent: per row-panel of the second half, build the
+    # K21 strip from the inputs, forward-sweep it against L11 (read back in
+    # small slices from l_full — L11 is never held separately), write into L.
     cols1 = jnp.arange(h)[None, :]
-    k21 = cross_covariance(kernel, x2, x1, method=method)
-    k21 = jnp.where((rows2 < n) & (cols1 < n), k21, 0.0)
+    num_panels2 = h // block
 
-    # L21 = K21 L11^-T — loop-blocked TRSM (a monolithic solve_triangular
-    # with an h-wide RHS crashes the remote compiler at this size)
-    from .blocked_solve import _blocked_solve
+    def l21_panel(j, l_full):
+        r0 = j * block
+        z = jnp.zeros_like(r0)
+        xj = lax.dynamic_slice(x2, (r0, z), (block, d))
+        strip = cross_covariance(kernel, xj, x1, method=method)  # (B, h)
+        rows = h + r0 + jnp.arange(block)[:, None]
+        rhs = jnp.where((rows < n) & (cols1 < n), strip, 0.0).T  # (h, B)
 
-    l21 = _blocked_solve(l11, k21.T, block, False).T
+        # forward substitution: L11 Y = rhs, L11 read panel-wise from l_full
+        def fwd(jj, y):
+            j0 = jj * block
+            zz = jnp.zeros_like(j0)
+            l_rows = lax.dynamic_slice(l_full, (j0, zz), (block, h))
+            l_left = jnp.where(jnp.arange(h)[None, :] < j0, l_rows, 0.0)
+            r = lax.dynamic_slice(rhs, (j0, zz), (block, block)) - jnp.dot(
+                l_left, y, preferred_element_type=dtype
+            )
+            ld = lax.dynamic_slice(l_rows, (zz, j0), (block, block))
+            yj = solve_triangular(ld, r, lower=True)
+            return lax.dynamic_update_slice(y, yj, (j0, zz))
 
-    # S22 = K22 + noise^2 I (live) / identity (dead)  -  L21 L21^T
-    k22 = cross_covariance(kernel, x2, x2, method=method)
-    cols2 = h + jnp.arange(h)[None, :]
-    diag2 = rows2 == cols2
-    k22 = k22 + jnp.where(diag2, noise * noise, 0.0)
-    live2 = (rows2 < n) & (cols2 < n)
-    k22 = jnp.where(live2, k22, jnp.where(diag2, 1.0, 0.0).astype(dtype))
-    s22 = k22 - jnp.dot(l21, l21.T, preferred_element_type=dtype)
+        y = lax.fori_loop(0, h // block, fwd, jnp.zeros((h, block), dtype))
+        return lax.dynamic_update_slice(l_full, y.T, (h + r0, z))
+
+    l_full = lax.fori_loop(0, num_panels2, l21_panel, l_full)
+
+    # S22 = K22 (+noise^2 I / identity padding) - L21 L21^T, column strips;
+    # the downdate contracts small (h, B) x (B, B) slices of L21 from l_full
+    # so no h x h copy of L21 is ever held.
+    rows2 = h + jnp.arange(h)[:, None]
+
+    def s22_panel(j, s22):
+        c0 = j * block
+        z = jnp.zeros_like(c0)
+        xj = lax.dynamic_slice(x2, (c0, z), (block, d))
+        strip = cross_covariance(kernel, x2, xj, method=method)  # (h, B)
+        cols = h + c0 + jnp.arange(block)[None, :]
+        diag = rows2 == cols
+        strip = strip + jnp.where(diag, noise * noise, 0.0)
+        live = (rows2 < n) & (cols < n)
+        strip = jnp.where(live, strip, jnp.where(diag, 1.0, 0.0).astype(dtype))
+
+        def downdate(kk, acc):
+            k0 = kk * block
+            zz = jnp.zeros_like(k0)
+            l_all_k = lax.dynamic_slice(l_full, (h, k0), (h, block))
+            l_cols_k = lax.dynamic_slice(
+                l_full, (h + c0, k0), (block, block)
+            )
+            return acc - jnp.dot(
+                l_all_k, l_cols_k.T, preferred_element_type=dtype
+            )
+
+        strip = lax.fori_loop(0, h // block, downdate, strip)
+        return lax.dynamic_update_slice(s22, strip, (z, c0))
+
+    s22 = lax.fori_loop(
+        0, num_panels2, s22_panel, jnp.zeros((h, h), dtype=dtype)
+    )
 
     # L22: MAC-optimal in-place tiled factorization of the downdated block
     l22, ok2 = tiled_cholesky_inplace(s22, eps=eps, block=min(block, h))
-
-    l_full = jnp.zeros((cap, cap), dtype=dtype)
-    l_full = lax.dynamic_update_slice(l_full, l11, (0, 0))
-    l_full = lax.dynamic_update_slice(l_full, l21, (h, 0))
     l_full = lax.dynamic_update_slice(l_full, l22, (h, h))
     return l_full, ok1 & ok2
 
