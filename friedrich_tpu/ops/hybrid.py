@@ -24,8 +24,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
+from .cholesky import _unblocked_cholesky_substitute
 from .streamed import _streamed_cholesky_impl
-from .tiled import tiled_cholesky_inplace
 
 Array = jnp.ndarray
 
@@ -92,12 +92,12 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
 
     l_full = lax.fori_loop(0, num_panels2, l21_panel, l_full)
 
-    # S22 = K22 (+noise^2 I / identity padding) - L21 L21^T, column strips;
-    # the downdate contracts small (h, B) x (B, B) slices of L21 from l_full
-    # so no h x h copy of L21 is ever held.
+    # S22 = K22 (+noise^2 I / identity padding) - L21 L21^T, column strips
+    # written DIRECTLY into l_full[h:, h:] (no separate h x h buffer); the
+    # downdate contracts small slices of L21 from l_full.
     rows2 = h + jnp.arange(h)[:, None]
 
-    def s22_panel(j, s22):
+    def s22_panel(j, l_full):
         c0 = j * block
         z = jnp.zeros_like(c0)
         xj = lax.dynamic_slice(x2, (c0, z), (block, d))
@@ -110,25 +110,63 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
 
         def downdate(kk, acc):
             k0 = kk * block
-            zz = jnp.zeros_like(k0)
             l_all_k = lax.dynamic_slice(l_full, (h, k0), (h, block))
-            l_cols_k = lax.dynamic_slice(
-                l_full, (h + c0, k0), (block, block)
-            )
+            l_cols_k = lax.dynamic_slice(l_full, (h + c0, k0), (block, block))
             return acc - jnp.dot(
                 l_all_k, l_cols_k.T, preferred_element_type=dtype
             )
 
         strip = lax.fori_loop(0, h // block, downdate, strip)
-        return lax.dynamic_update_slice(s22, strip, (z, c0))
+        return lax.dynamic_update_slice(l_full, strip, (h, h + c0))
 
-    s22 = lax.fori_loop(
-        0, num_panels2, s22_panel, jnp.zeros((h, h), dtype=dtype)
-    )
+    l_full = lax.fori_loop(0, num_panels2, s22_panel, l_full)
 
-    # L22: MAC-optimal in-place tiled factorization of the downdated block
-    l22, ok2 = tiled_cholesky_inplace(s22, eps=eps, block=min(block, h))
-    l_full = lax.dynamic_update_slice(l_full, l22, (h, h))
+    # L22: MAC-optimal tiled factorization of the S22 region IN PLACE inside
+    # l_full (right-looking over (B, B) tiles at static offset h).
+    nb2 = h // block
+
+    def region_panel(j, l_full):
+        j0 = h + j * block
+        diag = lax.dynamic_slice(l_full, (j0, j0), (block, block))
+        if eps is None:
+            ld = jnp.linalg.cholesky(diag)
+        else:
+            ld = _unblocked_cholesky_substitute(diag, eps)
+        l_full = lax.dynamic_update_slice(l_full, ld, (j0, j0))
+
+        def trsm(i, l_full):
+            i0 = h + i * block
+            a = lax.dynamic_slice(l_full, (i0, j0), (block, block))
+            lij = solve_triangular(ld, a.T, lower=True).T
+            return lax.dynamic_update_slice(l_full, lij, (i0, j0))
+
+        l_full = lax.fori_loop(j + 1, nb2, trsm, l_full)
+
+        def syrk_i(i, l_full):
+            i0 = h + i * block
+            lij = lax.dynamic_slice(l_full, (i0, j0), (block, block))
+
+            def syrk_k(kk, l_full):
+                k0 = h + kk * block
+                lkj = lax.dynamic_slice(l_full, (k0, j0), (block, block))
+                a = lax.dynamic_slice(l_full, (i0, k0), (block, block))
+                a = a - jnp.dot(lij, lkj.T, preferred_element_type=dtype)
+                return lax.dynamic_update_slice(l_full, a, (i0, k0))
+
+            return lax.fori_loop(j + 1, i + 1, syrk_k, l_full)
+
+        return lax.fori_loop(j + 1, nb2, syrk_i, l_full)
+
+    l_full = lax.fori_loop(0, nb2, region_panel, l_full)
+
+    # zero the stale upper triangle of the S22 region (strips filled the
+    # full block; the factorization leaves upper-tile residue)
+    rows_all = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+    cols_all = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    l_full = jnp.where(rows_all >= cols_all, l_full, jnp.zeros((), dtype))
+
+    diag_v = jnp.diagonal(l_full)
+    ok2 = jnp.all(jnp.isfinite(diag_v))
     return l_full, ok1 & ok2
 
 
