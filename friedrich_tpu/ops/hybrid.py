@@ -117,6 +117,11 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
             )
 
         strip = lax.fori_loop(0, h // block, downdate, strip)
+        # write only the lower part of the region column strip: the later
+        # in-place factorization touches lower tiles only, and this keeps
+        # l_full exactly lower-triangular without a final full-matrix mask
+        # (which would double peak HBM)
+        strip = jnp.where(rows2 >= cols, strip, 0.0)
         return lax.dynamic_update_slice(l_full, strip, (h, h + c0))
 
     l_full = lax.fori_loop(0, num_panels2, s22_panel, l_full)
@@ -128,6 +133,11 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
     def region_panel(j, l_full):
         j0 = h + j * block
         diag = lax.dynamic_slice(l_full, (j0, j0), (block, block))
+        # only the lower half of region tiles is stored; mirror it, since
+        # XLA's cholesky symmetrizes its input (zero upper would halve the
+        # off-diagonal entries)
+        low = jnp.tril(diag)
+        diag = low + jnp.tril(diag, -1).T
         if eps is None:
             ld = jnp.linalg.cholesky(diag)
         else:
@@ -158,12 +168,6 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
         return lax.fori_loop(j + 1, nb2, syrk_i, l_full)
 
     l_full = lax.fori_loop(0, nb2, region_panel, l_full)
-
-    # zero the stale upper triangle of the S22 region (strips filled the
-    # full block; the factorization leaves upper-tile residue)
-    rows_all = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
-    cols_all = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-    l_full = jnp.where(rows_all >= cols_all, l_full, jnp.zeros((), dtype))
 
     diag_v = jnp.diagonal(l_full)
     ok2 = jnp.all(jnp.isfinite(diag_v))
