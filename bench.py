@@ -34,12 +34,12 @@ def build_and_factor_fn(n: int):
     """
     from friedrich_tpu.ops.cholesky import cholesky
     from friedrich_tpu.ops.covariance import cross_covariance
-    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+    from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
 
     if n > 32768:
 
         def run(kernel, x, noise):
-            l_mat, ok = streamed_cholesky_factor(kernel, x, n, noise, block=2048)
+            l_mat, ok = hybrid_cholesky_factor(kernel, x, n, noise, block=2500)
             return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
 
     else:
