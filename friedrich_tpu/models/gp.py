@@ -207,6 +207,27 @@ def add_samples_padded(state: GPState, x_new: Array, y_new: Array) -> GPState:
 # ---------------------------------------------------------------------------
 
 
+#: Above this capacity, predict-path triangular solves use the loop-blocked
+#: sweeps (XLA's monolithic solve with a wide RHS breaks the compiler there).
+_BLOCKED_SOLVE_THRESHOLD = 16384
+
+
+def _solve_lower(state: GPState, c: Array) -> Array:
+    if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
+        from ..ops.blocked_solve import blocked_solve_lower
+
+        return blocked_solve_lower(state.l, c)
+    return solve_triangular(state.l, c, lower=True)
+
+
+def _cho_solve(state: GPState, c: Array) -> Array:
+    if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
+        from ..ops.blocked_solve import blocked_cho_solve
+
+        return blocked_cho_solve(state.l, c)
+    return cho_solve((state.l, True), c)
+
+
 def _train_cross(state: GPState, xq: Array) -> Array:
     return cross_covariance_train_padded(
         state.kernel, state.x, state.n, xq, method=state.method
@@ -216,7 +237,7 @@ def _train_cross(state: GPState, xq: Array) -> Array:
 def predict_mean(state: GPState, xq: Array) -> Array:
     """Posterior mean: ``prior + K(xq, X) K^-1 resid`` (``mod.rs:226-244``)."""
     c = _train_cross(state, xq)
-    w = cho_solve((state.l, True), c)
+    w = _cho_solve(state, c)
     return state.prior.mean(xq) + w.T @ state.resid
 
 
@@ -224,7 +245,7 @@ def predict_variance(state: GPState, xq: Array) -> Array:
     """Latent predictive variance — observation noise NOT added back,
     matching ``mod.rs:248-273`` (see ``:266-269``)."""
     c = _train_cross(state, xq)
-    kl = solve_triangular(state.l, c, lower=True)
+    kl = _solve_lower(state, c)
     base = kernel_diag(state.kernel, xq)
     return base - jnp.sum(kl * kl, axis=0)
 
@@ -232,7 +253,7 @@ def predict_variance(state: GPState, xq: Array) -> Array:
 def predict_mean_variance(state: GPState, xq: Array) -> tuple[Array, Array]:
     """Shared-weights mean+variance (``mod.rs:290-326``)."""
     c = _train_cross(state, xq)
-    w = cho_solve((state.l, True), c)
+    w = _cho_solve(state, c)
     mean = state.prior.mean(xq) + w.T @ state.resid
     base = kernel_diag(state.kernel, xq)
     var = base - jnp.sum(c * w, axis=0)  # column-dot form of mod.rs:314-319
@@ -243,7 +264,7 @@ def predict_covariance(state: GPState, xq: Array) -> Array:
     """Full posterior covariance ``Kqq - (L^-1 Kq)^T (L^-1 Kq)``
     (``mod.rs:329-350``)."""
     c = _train_cross(state, xq)
-    kl = solve_triangular(state.l, c, lower=True)
+    kl = _solve_lower(state, c)
     kqq = cross_covariance(state.kernel, xq, xq, method=state.method)
     return kqq - kl.T @ kl
 
@@ -253,7 +274,7 @@ def posterior(state: GPState, xq: Array) -> tuple[Array, Array]:
     computation (``mod.rs:371-392``), which uses ``Kq^T K^-1 Kq`` rather
     than the triangular form."""
     c = _train_cross(state, xq)
-    w = cho_solve((state.l, True), c)
+    w = _cho_solve(state, c)
     kqq = cross_covariance(state.kernel, xq, xq, method=state.method)
     cov = kqq - c.T @ w
     mean = state.prior.mean(xq) + w.T @ state.resid
@@ -273,7 +294,7 @@ def likelihood(state: GPState) -> Array:
     exact score is :func:`log_marginal_likelihood`. Replicated verbatim for
     parity (``mod.rs:196-220``).
     """
-    ol = solve_triangular(state.l, state.resid, lower=True)
+    ol = _solve_lower(state, state.resid)
     data_fit = jnp.sum(ol * ol)
     diag = kernel_diag(state.kernel, state.x) + state.noise * state.noise
     live = jnp.arange(state.capacity) < state.n
@@ -285,7 +306,7 @@ def likelihood(state: GPState) -> Array:
 def log_marginal_likelihood(state: GPState) -> Array:
     """Exact log marginal likelihood (corrected variant):
     ``-1/2 (r^T K^-1 r + ln|K| + n ln 2pi)`` with ``ln|K| = 2 sum ln L_ii``."""
-    ol = solve_triangular(state.l, state.resid, lower=True)
+    ol = _solve_lower(state, state.resid)
     data_fit = jnp.sum(ol * ol)
     diag_l = jnp.diagonal(state.l)
     live = jnp.arange(state.capacity) < state.n
