@@ -2,18 +2,30 @@
 
 The flat streamed factorization (``ops/streamed.py``) pays ~3x the
 theoretical FLOPs for static shapes. Splitting the matrix once at the top
-recovers most of that with three large static ops:
+recovers most of that:
 
-    L11 = streamed_factor(X_1)                   (kernel-built, n/2)
-    L21 = K21 L11^-T                             (one TRSM, MXU)
-    S22 = K22 - L21 L21^T                        (one SYRK, MXU)
-    L22 = tiled_inplace(S22)                     (MAC-optimal, n/2)
+    L11 = streamed_factor(X_1)                       (kernel-built, n/2)
+    L21 = K21 L11^-T     (per-strip loop-blocked TRSM against L11 in L)
+    S22 = K22 - L21 L21^T    (strip-built, slice-wise downdate, into L)
+    L22 = right-looking tiled factorization of the S22 region IN PLACE
 
-FLOPs ~ 0.67 n^3 vs 2 n^3 flat-streamed (optimal is n^3/3); every op is
-either a huge GEMM-family XLA op at half size (which compiles fine where
-the monolithic n-sized Cholesky crashes the compiler) or an existing
-streamed/tiled loop. K is never fully materialized; blocks are built from
-the inputs with the same live/identity masking as the padded builders.
+FLOPs ~ 0.8 n^3 vs 2 n^3 flat-streamed (optimal is n^3/3). Three rules
+shape the implementation, all learned the hard way at n=50k on a 16 GB
+chip with a remote compiler:
+
+- **No monolithic large ops**: XLA's n-sized Cholesky or a TRSM with a
+  wide RHS crashes the compiler; every step here is a fixed-size-panel
+  ``fori_loop`` (constant program size).
+- **One big buffer**: the (cap, cap) factor is the only O(n^2) allocation;
+  K21/K22 strips are generated from the inputs and consumed immediately,
+  L11 is read back in slices rather than held, and the S22 region is
+  factored in place — peak HBM ~= L + one strip.
+- **Lower-triangle discipline**: region strips store only their lower
+  part (diagonal tiles are mirrored before factorization since XLA's
+  cholesky symmetrizes input), so no final full-matrix mask (which would
+  double peak memory) is needed.
+
+Measured (v5e, f32): n=50k build+factor 1.43 s (flat streamed: 2.07 s).
 """
 
 from __future__ import annotations
