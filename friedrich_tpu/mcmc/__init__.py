@@ -5,6 +5,7 @@ from .diagnostics import ess, rhat, summary
 from .hmc import HMCResult, sample_hmc
 from .logprob import initial_theta, make_hyperparam_logprob
 from .nuts import NUTSResult, sample_nuts
+from .predictive import predictive_mixture, sample_predictive
 
 
 def sample_hyperparameters(
@@ -47,4 +48,6 @@ __all__ = [
     "initial_theta",
     "make_hyperparam_logprob",
     "sample_hyperparameters",
+    "predictive_mixture",
+    "sample_predictive",
 ]

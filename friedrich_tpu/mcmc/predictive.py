@@ -1,0 +1,115 @@
+"""Fully-Bayesian prediction: marginalize over hyperparameter draws.
+
+The point of the hyperparameter posterior (BASELINE config 4): instead of
+plugging in one fitted (kernel, noise), average the GP predictive over
+MCMC draws theta_s ~ p(theta | data):
+
+    p(y* | x*, D) ~= 1/S sum_s N(m_s(x*), v_s(x*))
+
+Mixture moments:  mean = E_s[m_s],  var = E_s[v_s + m_s^2] - mean^2.
+
+Each draw rebuilds the covariance factor at its hyperparameters — one
+n^3/3 factorization per draw, vmapped so XLA batches the factorizations
+across draws (MXU-friendly at small/medium n; thin the chain accordingly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gp import GPState
+from ..ops.cholesky import cholesky
+from ..ops.covariance import (
+    cross_covariance_train_padded,
+    kernel_diag,
+    train_covariance_padded,
+)
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+Array = jnp.ndarray
+
+
+def predictive_mixture(
+    state: GPState,
+    theta_samples: Array,
+    xq: Array,
+    max_draws: int = 64,
+) -> tuple[Array, Array]:
+    """(mean, variance) of the hyperparameter-marginalized predictive.
+
+    ``theta_samples``: draws of log([kernel params..., noise]) as returned
+    by :func:`sample_hyperparameters` — any shape (..., dim); flattened and
+    thinned evenly to at most ``max_draws``.
+    """
+    nb = state.kernel.nb_params
+    flat = theta_samples.reshape(-1, theta_samples.shape[-1])
+    s = flat.shape[0]
+    take = min(max_draws, s)
+    idx = jnp.linspace(0, s - 1, take).astype(jnp.int32)
+    thetas = flat[idx]
+
+    def one_draw(theta):
+        raw = jnp.exp(theta)
+        kernel = state.kernel.with_params(raw[:nb])
+        noise = raw[nb]
+        k_pad = train_covariance_padded(
+            kernel, state.x, state.n, noise, method=state.method
+        )
+        l_pad, _ = cholesky(k_pad)
+        c = cross_covariance_train_padded(
+            kernel, state.x, state.n, xq, method=state.method
+        )
+        kl = solve_triangular(l_pad, c, lower=True)
+        w = solve_triangular(l_pad, kl, lower=True, trans=1)
+        mean = state.prior.mean(xq) + w.T @ state.resid
+        var = kernel_diag(kernel, xq) - jnp.sum(kl * kl, axis=0)
+        return mean, var
+
+    means, variances = jax.vmap(one_draw)(thetas)  # (S, m) each
+    mix_mean = jnp.mean(means, axis=0)
+    mix_var = jnp.mean(variances + means**2, axis=0) - mix_mean**2
+    return mix_mean, mix_var
+
+
+def sample_predictive(
+    state: GPState,
+    theta_samples: Array,
+    xq: Array,
+    key: jax.Array,
+    num_draws: int = 32,
+) -> Array:
+    """Draw from the marginalized predictive: pick a random theta per draw,
+    then sample the corresponding posterior GP at ``xq``. Shape
+    (num_draws, m)."""
+    nb = state.kernel.nb_params
+    flat = theta_samples.reshape(-1, theta_samples.shape[-1])
+    key_idx, key_norm = jax.random.split(key)
+    idx = jax.random.randint(key_idx, (num_draws,), 0, flat.shape[0])
+    thetas = flat[idx]
+    zs = jax.random.normal(key_norm, (num_draws, xq.shape[0]), state.x.dtype)
+
+    def one(theta, z):
+        raw = jnp.exp(theta)
+        kernel = state.kernel.with_params(raw[:nb])
+        noise = raw[nb]
+        k_pad = train_covariance_padded(
+            kernel, state.x, state.n, noise, method=state.method
+        )
+        l_pad, _ = cholesky(k_pad)
+        c = cross_covariance_train_padded(
+            kernel, state.x, state.n, xq, method=state.method
+        )
+        w = cho_solve((l_pad, True), c)
+        from ..ops.covariance import cross_covariance
+
+        kqq = cross_covariance(kernel, xq, xq, method=state.method)
+        cov = kqq - c.T @ w
+        mean = state.prior.mean(xq) + w.T @ state.resid
+        # jitter for numerical PSD-ness of the posterior covariance
+        l_cov = jnp.linalg.cholesky(
+            cov + 1e-10 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        )
+        return mean + l_cov @ z
+
+    return jax.vmap(one)(thetas, zs)

@@ -215,3 +215,41 @@ def test_nuts_anisotropic_gaussian_5d():
     np.testing.assert_allclose(draws.mean(axis=0) / np.asarray(scales),
                                np.zeros(5), atol=0.2)
     assert np.all(np.asarray(rhat(res.samples)) < 1.1)
+
+
+def test_predictive_mixture_marginalizes_sensibly():
+    from friedrich_tpu.mcmc import predictive_mixture, sample_predictive
+
+    n = 25
+    x = np.sort(RNG.uniform(-3, 3, size=(n, 1)), axis=0)
+    d = np.abs(x - x.T)
+    k = 2.0 * np.exp(-(d**2) / 2.0) + 0.2**2 * np.eye(n)
+    y = np.linalg.cholesky(k) @ RNG.normal(size=n)
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.3, None, x, y
+    )
+    res = sample_hyperparameters(
+        gp, jax.random.PRNGKey(5), num_warmup=150, num_samples=150,
+        num_chains=2, sampler="nuts", max_depth=6,
+    )
+    xq = jnp.asarray(np.linspace(-2.5, 2.5, 7)[:, None])
+    mix_mean, mix_var = predictive_mixture(gp.state, res.samples, xq, max_draws=16)
+    assert np.all(np.isfinite(np.asarray(mix_mean)))
+    assert np.all(np.asarray(mix_var) > 0)
+    # mixture must dominate the per-draw conditional variance at the
+    # posterior-mean hyperparameters (law of total variance)
+    theta_mean = jnp.mean(res.samples.reshape(-1, 3), axis=0)
+    m_pm, v_pm = predictive_mixture(
+        gp.state, theta_mean[None, :], xq, max_draws=1
+    )
+    assert float(jnp.mean(mix_var)) >= 0.8 * float(jnp.mean(v_pm))
+    # mixture mean close to the posterior-mean plug-in on identified data
+    assert float(jnp.max(jnp.abs(mix_mean - m_pm))) < 1.0
+
+    draws = sample_predictive(gp.state, res.samples, xq, jax.random.PRNGKey(6),
+                              num_draws=64)
+    assert draws.shape == (64, 7)
+    # empirical draw moments track the mixture moments
+    np.testing.assert_allclose(
+        np.asarray(draws.mean(axis=0)), np.asarray(mix_mean), atol=0.8
+    )
