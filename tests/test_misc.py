@@ -67,3 +67,25 @@ def test_default_dtype_tracks_x64():
 
     assert x64_enabled()  # conftest enables it
     assert default_dtype() == jnp.float64
+
+
+def test_debugging_utils():
+    from friedrich_tpu.utils.debugging import checksum, debug_nans
+
+    with debug_nans(False):
+        pass
+    a = checksum({"a": jnp.ones((3,)), "b": jnp.asarray(2.0)})
+    assert a == 5.0
+
+
+def test_bayesian_optimization_example_converges():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "examples" / "bayesian_optimization.py"
+    spec = importlib.util.spec_from_file_location("bo_example", path)
+    bo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bo)
+    best = bo.main(num_iters=15, seed=0)
+    # global max ~0.9756 at x~0.867; EI-BO should get close in 15 steps
+    assert best > 0.9
