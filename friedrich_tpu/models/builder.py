@@ -114,7 +114,7 @@ class GaussianProcessBuilder:
         """'dense' (materialize K; small/medium n), 'streamed' (fused
         build+factor, K never materialized), or 'tiled' (in-place
         MAC-optimal factorization; fastest large-n single chip)."""
-        if backend not in ("dense", "streamed", "tiled", "hybrid"):
+        if backend not in ("dense", "streamed", "tiled", "hybrid", "auto"):
             raise ConfigError(f"unknown backend {backend!r}")
         self._backend = backend
         return self

@@ -86,7 +86,18 @@ def pad_capacity(x: Array, y_resid: Array, cap: int) -> tuple[Array, Array]:
     return x_pad, r_pad
 
 
+#: "auto" backend switches from dense to the hybrid factorizer here.
+_AUTO_HYBRID_THRESHOLD = 8192
+
+
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
+    if backend == "auto":
+        cap = x_pad.shape[0]
+        backend = (
+            "hybrid"
+            if cap > _AUTO_HYBRID_THRESHOLD and cap % 2 == 0
+            else "dense"
+        )
     if backend == "streamed":
         from ..ops.streamed import streamed_cholesky_factor
 
