@@ -57,6 +57,14 @@ def load() -> ctypes.CDLL:
     i64 = ctypes.c_int64
     lib.cov_matrix.argtypes = [ctypes.c_int, _f64p, _f64p, i64, _f64p, i64, i64, _f64p]
     lib.train_cov.argtypes = [ctypes.c_int, _f64p, _f64p, i64, i64, ctypes.c_double, _f64p]
+    lib.cov_matrix2.argtypes = [
+        ctypes.c_int, ctypes.c_int, _f64p, ctypes.c_int, _f64p,
+        _f64p, i64, _f64p, i64, i64, _f64p,
+    ]
+    lib.train_cov2.argtypes = [
+        ctypes.c_int, ctypes.c_int, _f64p, ctypes.c_int, _f64p,
+        _f64p, i64, i64, ctypes.c_double, _f64p,
+    ]
     lib.cholesky_factor.argtypes = [_f64p, i64, ctypes.c_double, ctypes.c_int]
     lib.cholesky_factor.restype = ctypes.c_int
     lib.solve_lower.argtypes = [_f64p, _f64p, i64, i64]
@@ -79,22 +87,42 @@ def _kernel_id_and_params(kernel) -> tuple[int, np.ndarray]:
     return KERNEL_IDS[name], np.ascontiguousarray(params)
 
 
+def _composite_spec(kernel):
+    """(op, kid1, p1, kid2, p2): single kernels and two-kernel Sum/Prod."""
+    name = type(kernel).__name__
+    if name in ("KernelSum", "KernelProd"):
+        op = 1 if name == "KernelSum" else 2
+        kid1, p1 = _kernel_id_and_params(kernel.k1)
+        kid2, p2 = _kernel_id_and_params(kernel.k2)
+        return op, kid1, p1, kid2, p2
+    kid, p = _kernel_id_and_params(kernel)
+    return 0, kid, p, 0, np.zeros(1)
+
+
 def cov_matrix(kernel, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
     lib = load()
-    kid, p = _kernel_id_and_params(kernel)
+    op, kid1, p1, kid2, p2 = _composite_spec(kernel)
     x1 = np.ascontiguousarray(x1, dtype=np.float64)
     x2 = np.ascontiguousarray(x2, dtype=np.float64)
     out = np.empty((x1.shape[0], x2.shape[0]), dtype=np.float64)
-    lib.cov_matrix(kid, p, x1, x1.shape[0], x2, x2.shape[0], x1.shape[1], out)
+    if op == 0:
+        lib.cov_matrix(kid1, p1, x1, x1.shape[0], x2, x2.shape[0], x1.shape[1], out)
+    else:
+        lib.cov_matrix2(op, kid1, p1, kid2, p2, x1, x1.shape[0], x2,
+                        x2.shape[0], x1.shape[1], out)
     return out
 
 
 def train_cov(kernel, x: np.ndarray, noise: float) -> np.ndarray:
     lib = load()
-    kid, p = _kernel_id_and_params(kernel)
+    op, kid1, p1, kid2, p2 = _composite_spec(kernel)
     x = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty((x.shape[0], x.shape[0]), dtype=np.float64)
-    lib.train_cov(kid, p, x, x.shape[0], x.shape[1], float(noise), out)
+    if op == 0:
+        lib.train_cov(kid1, p1, x, x.shape[0], x.shape[1], float(noise), out)
+    else:
+        lib.train_cov2(op, kid1, p1, kid2, p2, x, x.shape[0], x.shape[1],
+                       float(noise), out)
     return out
 
 
@@ -145,17 +173,28 @@ class NativeGP:
         self.l_mat = cholesky(k, eps)
 
     def predict_mean_variance(self, xq) -> tuple[np.ndarray, np.ndarray]:
-        lib = load()
-        kid, p = _kernel_id_and_params(self.kernel)
         xq = np.ascontiguousarray(np.asarray(xq, dtype=np.float64))
+        op, kid, p, _, _ = _composite_spec(self.kernel)
         n, d = self.x.shape
         m = xq.shape[0]
-        work = np.empty((n, m), dtype=np.float64)
-        mean = np.empty((m,), dtype=np.float64)
-        var = np.empty((m,), dtype=np.float64)
-        lib.gp_predict_mean_var(
-            kid, p, self.x, n, d, self.l_mat, self.resid, xq, m, work, mean, var
-        )
+        if op == 0:
+            # fused single-kernel C path
+            lib = load()
+            work = np.empty((n, m), dtype=np.float64)
+            mean = np.empty((m,), dtype=np.float64)
+            var = np.empty((m,), dtype=np.float64)
+            lib.gp_predict_mean_var(
+                kid, p, self.x, n, d, self.l_mat, self.resid, xq, m, work,
+                mean, var,
+            )
+        else:
+            # composed path for Sum/Prod kernels
+            c = cov_matrix(self.kernel, self.x, xq)
+            kl = solve_lower(self.l_mat, c)
+            base = np.diagonal(cov_matrix(self.kernel, xq, xq)).copy()
+            var = base - np.sum(kl * kl, axis=0)
+            w = solve_lower(self.l_mat, kl, trans=True)
+            mean = w.T @ self.resid
         mean += np.asarray(self.prior.mean(xq), dtype=np.float64)
         return mean, var
 

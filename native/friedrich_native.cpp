@@ -91,12 +91,48 @@ static double kernel_eval(int kid, const double* p, const double* x1,
   }
 }
 
+// Composite ops for two-kernel compositions (KernelSum / KernelProd).
+enum CompositeOp { OP_SINGLE = 0, OP_SUM = 1, OP_PROD = 2 };
+
+static double composite_eval(int op, int kid1, const double* p1, int kid2,
+                             const double* p2, const double* x1,
+                             const double* x2, int64_t d) {
+  const double v1 = kernel_eval(kid1, p1, x1, x2, d);
+  if (op == OP_SINGLE) return v1;
+  const double v2 = kernel_eval(kid2, p2, x1, x2, d);
+  return op == OP_SUM ? v1 + v2 : v1 * v2;
+}
+
 // K(X1, X2): out is (n1, n2) row-major.
 void cov_matrix(int kid, const double* params, const double* x1, int64_t n1,
                 const double* x2, int64_t n2, int64_t d, double* out) {
   for (int64_t i = 0; i < n1; ++i)
     for (int64_t j = 0; j < n2; ++j)
       out[i * n2 + j] = kernel_eval(kid, params, x1 + i * d, x2 + j * d, d);
+}
+
+// Composite variant: op in {1=sum, 2=prod} over two kernels.
+void cov_matrix2(int op, int kid1, const double* p1, int kid2,
+                 const double* p2, const double* x1, int64_t n1,
+                 const double* x2, int64_t n2, int64_t d, double* out) {
+  for (int64_t i = 0; i < n1; ++i)
+    for (int64_t j = 0; j < n2; ++j)
+      out[i * n2 + j] =
+          composite_eval(op, kid1, p1, kid2, p2, x1 + i * d, x2 + j * d, d);
+}
+
+void train_cov2(int op, int kid1, const double* p1, int kid2,
+                const double* p2, const double* x, int64_t n, int64_t d,
+                double noise, double* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = 0; j <= i; ++j) {
+      const double v =
+          composite_eval(op, kid1, p1, kid2, p2, x + i * d, x + j * d, d);
+      out[i * n + j] = v;
+      out[j * n + i] = v;
+    }
+    out[i * n + i] += noise * noise;
+  }
 }
 
 // Training covariance: K(X, X) + noise^2 I (algebra/mod.rs:59-79).

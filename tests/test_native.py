@@ -83,3 +83,28 @@ def test_native_gp_matches_jax_engine(lib):
     m_j, v_j = jgp.predict_mean_variance(xq)
     np.testing.assert_allclose(m_n, np.asarray(m_j), rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(v_n, np.asarray(v_j), rtol=1e-8, atol=1e-11)
+
+
+def test_native_composite_kernels(lib):
+    x1 = RNG.normal(size=(6, 2))
+    x2 = RNG.normal(size=(4, 2))
+    ksum = fk.SquaredExp(ls=0.8, ampl=1.2) + fk.Linear(c=0.3)
+    osum = orc.OKernelSum(orc.OSquaredExp(0.8, 1.2), orc.OLinear(0.3))
+    np.testing.assert_allclose(
+        native.cov_matrix(ksum, x1, x2),
+        orc.make_covariance_matrix(x1, x2, osum), rtol=1e-12,
+    )
+    kprod = fk.Matern1(ls=1.1, ampl=0.9) * fk.RationalQuadratic(alpha=0.8, ls=1.3)
+    oprod = orc.OKernelProd(orc.OMatern1(1.1, 0.9), orc.ORationalQuadratic(0.8, 1.3))
+    np.testing.assert_allclose(
+        native.cov_matrix(kprod, x1, x2),
+        orc.make_covariance_matrix(x1, x2, oprod), rtol=1e-12,
+    )
+    # full NativeGP flow on a composite kernel vs the JAX engine
+    y = RNG.normal(size=6)
+    ngp = native.NativeGP(ksum, fp.ZeroPrior(), 0.25, x1, y)
+    jgp = ft.GaussianProcess.new(fp.ZeroPrior(), ksum, 0.25, None, x1, y)
+    m_n, v_n = ngp.predict_mean_variance(x2)
+    m_j, v_j = jgp.predict_mean_variance(x2)
+    np.testing.assert_allclose(m_n, np.asarray(m_j), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(v_n, np.asarray(v_j), rtol=1e-8, atol=1e-11)
