@@ -43,9 +43,10 @@ Array = jnp.ndarray
 
 
 @functools.partial(
-    jax.jit, static_argnames=("treedef", "eps", "block", "method")
+    jax.jit, static_argnames=("treedef", "eps", "block", "method", "levels")
 )
-def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
+def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
+                 levels=1):
     """Memory-disciplined layout: ONE (cap, cap) carry holds the factor;
     K21/K22 are built strip-by-strip from the inputs and consumed
     immediately, so peak HBM = L + one strip + the h x h downdated block
@@ -62,11 +63,18 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method):
     x1 = x_pad[:h]
     x2 = x_pad[h:]
 
-    # L11: streamed factor of the top-left block (live count clamped)
+    # L11: factor of the top-left block (live count clamped). At levels > 1
+    # the half is itself hybrid-split (recursion unrolls at trace time),
+    # shaving the streamed leaf's FLOP overhead once more per level.
     n1 = jnp.minimum(n, h)
-    l11, ok1 = _streamed_cholesky_impl(
-        leaves, treedef, x1, n1, noise, eps, block, method
-    )
+    if levels > 1 and h % 2 == 0 and (h // 2) % block == 0:
+        l11, ok1 = _hybrid_impl(
+            leaves, treedef, x1, n1, noise, eps, block, method, levels - 1
+        )
+    else:
+        l11, ok1 = _streamed_cholesky_impl(
+            leaves, treedef, x1, n1, noise, eps, block, method
+        )
     l_full = jnp.zeros((cap, cap), dtype=dtype)
     l_full = lax.dynamic_update_slice(l_full, l11, (0, 0))
 
@@ -194,11 +202,13 @@ def hybrid_cholesky_factor(
     eps: Optional[float] = None,
     block: int = 2048,
     method: str = "gram",
+    levels: int = 1,
 ) -> tuple[Array, Array]:
     """Fused covariance build + half-split hybrid factorization.
 
     Requires even capacity with both halves divisible by a usable panel
     size (handled by block shrinking, like the other factorizers).
+    ``levels > 1`` recursively hybrid-splits the leading half too.
     """
     cap = x_pad.shape[0]
     if cap % 2:
@@ -210,5 +220,5 @@ def hybrid_cholesky_factor(
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     return _hybrid_impl(
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
-        jnp.asarray(noise, x_pad.dtype), eps, b, method,
+        jnp.asarray(noise, x_pad.dtype), eps, b, method, levels,
     )

@@ -153,3 +153,15 @@ def test_blocked_solves_match_scipy():
         np.asarray(blocked_solve_lower(l_mat, v, 16)),
         np.asarray(solve_triangular(l_mat, v, lower=True)), rtol=1e-9,
     )
+
+
+@pytest.mark.parametrize("levels,cap,n", [(2, 128, 100), (3, 256, 200)])
+def test_hybrid_recursive_levels(levels, cap, n):
+    from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
+
+    kern = fk.SquaredExp(ls=0.9, ampl=1.4)
+    x = jnp.zeros((cap, 3)).at[:n].set(RNG.normal(size=(n, 3)))
+    want, _ = factor(train_covariance_padded(kern, x, n, 0.3))
+    got, ok = hybrid_cholesky_factor(kern, x, n, 0.3, block=16, levels=levels)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
