@@ -39,7 +39,7 @@ def build_and_factor_fn(n: int):
     if n > 32768:
 
         def run(kernel, x, noise):
-            l_mat, ok = hybrid_cholesky_factor(kernel, x, n, noise, block=2500)
+            l_mat, ok = hybrid_cholesky_factor(kernel, x, n, noise, block=2500, levels=2)
             return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
 
     else:
