@@ -37,10 +37,10 @@ def fit_bandwidth_mean(x: Array, method: str = "gram") -> Array:
 
 
 def _bandwidth_mean_streamed(x: Array, method: str, block: int = 4096) -> Array:
+    from ..ops.partition import pick_block
+
     n, d = x.shape
-    b = min(block, n)
-    while n % b:
-        b -= 1
+    b = pick_block(n, block)
     num = n // b
 
     def strip(j, acc):

@@ -3,7 +3,7 @@ MCMC). Exact-LML targets, chain-parallel HMC/NUTS, diagnostics."""
 
 from .diagnostics import ess, rhat, summary
 from .hmc import HMCResult, sample_hmc
-from .logprob import initial_theta, make_hyperparam_logprob
+from .logprob import initial_signs, initial_theta, make_hyperparam_logprob
 from .nuts import NUTSResult, sample_nuts
 from .predictive import predictive_mixture, sample_predictive
 
@@ -46,6 +46,7 @@ __all__ = [
     "NUTSResult",
     "sample_nuts",
     "initial_theta",
+    "initial_signs",
     "make_hyperparam_logprob",
     "sample_hyperparameters",
     "predictive_mixture",

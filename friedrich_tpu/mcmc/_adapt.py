@@ -1,0 +1,97 @@
+"""Shared warmup adaptation for HMC and NUTS.
+
+One driver owns the dual-averaging step-size schedule (Hoffman & Gelman
+2014 constants: gamma=0.05, t0=10, kappa=0.75, target accept 0.8) and the
+pooled Welford diagonal-mass estimate over the second warmup half. The
+sampler supplies only its transition kernel; pooling hooks turn the
+cross-chain reductions into psum/pmean when the chain axis is sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jnp.ndarray
+
+TARGET_ACCEPT = 0.8
+DA_GAMMA = 0.05
+DA_T0 = 10.0
+DA_KAPPA = 0.75
+
+
+class WarmupResult(NamedTuple):
+    carry: tuple  # sampler-specific chain state after warmup
+    step_size: Array
+    inv_mass: Array
+
+
+def dual_averaging_warmup(
+    step_fn: Callable,
+    carry0: tuple,
+    get_positions: Callable[[tuple], Array],
+    num_warmup: int,
+    dim: int,
+    dtype,
+    key: jax.Array,
+    init_step_size: float = 0.1,
+    pool_mean=None,
+    pool_sum=None,
+) -> WarmupResult:
+    """Run warmup; ``step_fn(carry, eps, inv_mass, key) -> (carry, alpha)``
+    advances all local chains once and returns per-chain acceptance
+    statistics; ``get_positions(carry)`` exposes the (chains, dim) states
+    for mass estimation."""
+    pool_mean = pool_mean or (lambda v: v)
+    pool_sum = pool_sum or (lambda v: v)
+    mu = jnp.log(10.0 * init_step_size)
+    inv_mass_init = jnp.ones((dim,), dtype)
+    num_local = get_positions(carry0).shape[0]
+
+    def warmup_step(scan_carry, inputs):
+        i, k = inputs
+        carry, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_cnt = scan_carry
+        carry, alpha = step_fn(carry, jnp.exp(log_eps), inv_mass_init, k)
+        acc_mean = pool_mean(jnp.mean(alpha))
+        t = i.astype(dtype) + 1.0
+        h_bar = (1.0 - 1.0 / (t + DA_T0)) * h_bar + (TARGET_ACCEPT - acc_mean) / (
+            t + DA_T0
+        )
+        log_eps = mu - jnp.sqrt(t) / DA_GAMMA * h_bar
+        w = t ** (-DA_KAPPA)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        # Welford over the second warmup half, pooled across chains
+        theta = get_positions(carry)
+        in_window = i >= (num_warmup // 2)
+        cnt = w_cnt + jnp.where(
+            in_window, pool_sum(jnp.asarray(num_local, dtype)), 0.0
+        )
+        delta = theta - w_mean[None, :]
+        upd = jnp.where(in_window, 1.0, 0.0)
+        w_mean = w_mean + upd * pool_sum(jnp.sum(delta, axis=0)) / jnp.maximum(
+            cnt, 1
+        )
+        delta2 = theta - w_mean[None, :]
+        w_m2 = w_m2 + upd * pool_sum(jnp.sum(delta * delta2, axis=0))
+        return (carry, log_eps, log_eps_bar, h_bar, w_mean, w_m2, cnt), None
+
+    keys = jax.random.split(key, num_warmup)
+    init = (
+        carry0,
+        jnp.log(jnp.asarray(init_step_size, dtype)),
+        jnp.log(jnp.asarray(init_step_size, dtype)),
+        jnp.asarray(0.0, dtype),
+        jnp.zeros((dim,), dtype),
+        jnp.zeros((dim,), dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    (carry, _, log_eps_bar, _, w_mean, w_m2, w_cnt), _ = lax.scan(
+        warmup_step, init, (jnp.arange(num_warmup), keys)
+    )
+    step_size = jnp.exp(log_eps_bar)
+    var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
+    inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
+    return WarmupResult(carry=carry, step_size=step_size, inv_mass=inv_mass)

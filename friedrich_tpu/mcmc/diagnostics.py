@@ -31,24 +31,34 @@ def rhat(samples: Array) -> Array:
 
 
 def ess(samples: Array, max_lag: int = 100) -> Array:
-    """Bulk effective sample size per dimension (Geyer initial positive
-    sequence, truncated at ``max_lag``)."""
+    """Bulk effective sample size per dimension (Vehtari et al. 2021:
+    combined-chain correlations via var+, Geyer initial positive sequence
+    truncated at ``max_lag``).
+
+    Between-chain mean disagreement enters through ``var_plus`` in the
+    correlation normalization, so unmixed chains (large R-hat) collapse the
+    ESS instead of inflating it.
+    """
     x = split_chains(samples)
     s, c, d = x.shape
-    x = x - jnp.mean(x, axis=0, keepdims=True)
+    chain_mean = jnp.mean(x, axis=0, keepdims=True)
+    xc = x - chain_mean
+    chain_var = jnp.var(x, axis=0, ddof=1)  # (c, d)
+    w = jnp.mean(chain_var, axis=0)  # (d,)
+    b = s * jnp.var(chain_mean[0], axis=0, ddof=1)  # (d,)
+    var_plus = (s - 1) / s * w + b / s
     max_lag = min(max_lag, s - 1)
 
     def autocov(lag):
-        prod = x[: s - lag] * x[lag:]
-        return jnp.mean(jnp.sum(prod, axis=0) / s, axis=0)  # (d,)
+        prod = xc[: s - lag] * xc[lag:]
+        return jnp.mean(jnp.sum(prod, axis=0) / s, axis=0)  # (d,) biased /s
 
-    lags = [autocov(t) for t in range(max_lag)]
-    acov = jnp.stack(lags, axis=0)  # (max_lag, d)
-    rho = acov / acov[0]
+    acov = jnp.stack([autocov(t) for t in range(max_lag)], axis=0)
+    rho = 1.0 - (w[None, :] - acov) / jnp.maximum(var_plus[None, :], 1e-30)
     # Geyer initial positive sequence: tau = 2 * sum_k P_k - 1 over
     # consecutive pairs P_k = rho_{2k} + rho_{2k+1} while P_k > 0
     m = (max_lag // 2) * 2
-    pair = rho[0:m:2] + rho[1:m:2]  # (m/2, d); P_0 = 1 + rho_1
+    pair = rho[0:m:2] + rho[1:m:2]  # (m/2, d)
     pos = jnp.cumprod(pair > 0, axis=0).astype(rho.dtype)
     tau = 2.0 * jnp.sum(pair * pos, axis=0) - 1.0
     tau = jnp.maximum(tau, 1e-3)

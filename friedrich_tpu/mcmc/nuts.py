@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hmc import DA_GAMMA, DA_KAPPA, DA_T0, TARGET_ACCEPT
+from ._adapt import dual_averaging_warmup
 
 Array = jnp.ndarray
 
@@ -110,8 +110,7 @@ def _make_transition(logp: Callable, max_depth: int):
 
             init = dict(
                 i=jnp.asarray(0, jnp.int32),
-                z=z_edge, r=r_edge, g=g_edge, logp=jnp.asarray(0.0, dtype),
-                z_first=z_edge, r_first=r_edge, g_first=g_edge,
+                z=z_edge, r=r_edge, g=g_edge,
                 z_prop=z_edge, logp_prop=jnp.asarray(-jnp.inf, dtype),
                 g_prop=g_edge,
                 log_weight=jnp.asarray(-jnp.inf, dtype),
@@ -136,12 +135,6 @@ def _make_transition(logp: Callable, max_depth: int):
                 logw = jnp.where(jnp.isfinite(h), -delta, -jnp.inf)
                 alpha = jnp.minimum(1.0, jnp.exp(-delta))
                 alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-
-                # remember the first leaf (subtree "minus" edge in this dir)
-                first = i == 0
-                z_first = jnp.where(first, z, s["z_first"])
-                r_first = jnp.where(first, r, s["r_first"])
-                g_first = jnp.where(first, g, s["g_first"])
 
                 # multinomial reservoir within the subtree
                 new_logsum = jnp.logaddexp(s["log_weight"], logw)
@@ -190,8 +183,7 @@ def _make_transition(logp: Callable, max_depth: int):
                 )
 
                 return dict(
-                    i=i + 1, z=z, r=r, g=g, logp=logp_v,
-                    z_first=z_first, r_first=r_first, g_first=g_first,
+                    i=i + 1, z=z, r=r, g=g,
                     z_prop=z_prop, logp_prop=logp_prop, g_prop=g_prop,
                     log_weight=new_logsum,
                     sum_alpha=s["sum_alpha"] + alpha,
@@ -265,9 +257,10 @@ def _make_transition(logp: Callable, max_depth: int):
 
         out = lax.while_loop(doubling_cond, doubling_body, class_state)
         accept_stat = out["sum_alpha"] / jnp.maximum(out["n_alpha"], 1.0)
-        _, g_new = val_grad(out["z_prop"])  # refresh gradient for next step
+        # g_prop is maintained in lockstep with z_prop through every
+        # reservoir take and doubling merge — no gradient recomputation
         return (
-            out["z_prop"], out["logp_prop"], g_new,
+            out["z_prop"], out["logp_prop"], out["g_prop"],
             accept_stat, out["depth"], out["divergent"],
         )
 
@@ -320,55 +313,22 @@ def sample_nuts(
             key, num_samples,
         )
 
-    mu = jnp.log(10.0 * init_step_size)
-    inv_mass_init = jnp.ones((dim,), dtype)
-
-    def warmup_step(carry, inputs):
-        i, k = inputs
-        theta, logp_v, g, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_cnt = carry
+    def step_fn(carry, eps, im, k):
+        theta, logp_v, g = carry
         ks = jax.random.split(k, theta.shape[0])
-        eps = jnp.exp(log_eps)
-        theta, logp_v, g, alpha, _, _ = vtrans(
-            ks, theta, logp_v, g, eps, inv_mass_init
-        )
-        acc_mean = pool_mean(jnp.mean(alpha))
-        t = i.astype(dtype) + 1.0
-        h_bar = (1.0 - 1.0 / (t + DA_T0)) * h_bar + (TARGET_ACCEPT - acc_mean) / (
-            t + DA_T0
-        )
-        log_eps = mu - jnp.sqrt(t) / DA_GAMMA * h_bar
-        w = t ** (-DA_KAPPA)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        in_window = i >= (num_warmup // 2)
-        cnt = w_cnt + jnp.where(in_window, pool_sum(jnp.asarray(theta.shape[0], dtype)), 0.0)
-        delta = theta - w_mean[None, :]
-        upd = jnp.where(in_window, 1.0, 0.0)
-        w_mean = w_mean + upd * pool_sum(jnp.sum(delta, axis=0)) / jnp.maximum(cnt, 1)
-        delta2 = theta - w_mean[None, :]
-        w_m2 = w_m2 + upd * pool_sum(jnp.sum(delta * delta2, axis=0))
-        return (
-            theta, logp_v, g, log_eps, log_eps_bar, h_bar, w_mean, w_m2, cnt
-        ), None
+        theta, logp_v, g, alpha, _, _ = vtrans(ks, theta, logp_v, g, eps, im)
+        return (theta, logp_v, g), alpha
 
     key, kw = jax.random.split(key)
-    warm_keys = jax.random.split(kw, num_warmup)
-    carry0 = (
-        theta0, logp0, g0,
-        jnp.log(jnp.asarray(init_step_size, dtype)),
-        jnp.log(jnp.asarray(init_step_size, dtype)),
-        jnp.asarray(0.0, dtype),
-        jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype),
-        jnp.asarray(0.0, dtype),
+    warm = dual_averaging_warmup(
+        step_fn, (theta0, logp0, g0), lambda c: c[0], num_warmup, dim, dtype,
+        kw, init_step_size, pool_mean, pool_sum,
     )
-    (theta, logp_v, g, _, log_eps_bar, _, w_mean, w_m2, w_cnt), _ = lax.scan(
-        warmup_step, carry0, (jnp.arange(num_warmup), warm_keys)
-    )
-    step_size = jnp.exp(log_eps_bar)
-    var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
-    inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
+    theta, logp_v, g = warm.carry
 
     return _run_sampling(
-        vtrans, theta, logp_v, g, step_size, inv_mass, key, num_samples
+        vtrans, theta, logp_v, g, warm.step_size, warm.inv_mass, key,
+        num_samples,
     )
 
 

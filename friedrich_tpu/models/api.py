@@ -224,13 +224,20 @@ class GaussianProcess:
             # amortized growth, extendable_matrix.rs:38 (x1.5 policy)
             new_cap = max(n + k, math.ceil(cap * GROWTH_FACTOR))
             self._state = core.grow_capacity(self._state, new_cap)
-        self._state = _add_samples(self._state, x_new, y_new.astype(self._state.resid.dtype))
-        if not bool(jnp.all(jnp.isfinite(jnp.diagonal(self._state.l)))):
+        new_state = _add_samples(
+            self._state, x_new, y_new.astype(self._state.resid.dtype)
+        )
+        # validate BEFORE committing: a failed rank-update must not leave the
+        # model corrupted (NaN factor + incremented n) for callers that catch
+        # the error and keep using the GP
+        if not bool(jnp.all(jnp.isfinite(jnp.diagonal(new_state.l)))):
             raise CholeskyError(
                 "add_samples: rank-update of the Cholesky factor failed "
                 "(new points make the covariance non-PSD); consider setting "
-                "`cholesky_epsilon` or increasing the noise."
+                "`cholesky_epsilon` or increasing the noise. The model was "
+                "left unchanged."
             )
+        self._state = new_state
 
     def fit_parameters(
         self,

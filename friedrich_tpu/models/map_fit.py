@@ -6,8 +6,12 @@ quirks — and its multiplicative ADAM rules. This module is the corrected
 alternative the survey calls for: maximize the EXACT log marginal
 likelihood (optionally + log-hyperprior = MAP) by autodiff through the
 covariance build and Cholesky, with standard additive Adam (optax) in
-log-space. Works for every kernel (no hand-derived gradients needed,
-including compositions) and is immune to the reference's gradient quirks.
+log-magnitude space.
+
+Parameter SIGNS are held fixed at their starting values (a negative
+``Linear.c`` stays negative): like the reference's multiplicative update,
+the fit explores each parameter's magnitude and cannot cross zero. Works
+for every kernel composition — no hand-derived gradients needed.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..mcmc.logprob import make_hyperparam_logprob
+from ..mcmc.logprob import initial_signs, make_hyperparam_logprob
 from ..utils.errors import CholeskyError
 from .gp import GPState, rebuild_cholesky
 
@@ -36,8 +40,11 @@ def fit_map(
     objective when ``prior_sigma`` is set). Returns the refitted state.
     """
     nb = state.kernel.nb_params
+    signs = initial_signs(state)
     logp = make_hyperparam_logprob(
-        state, prior_sigma=prior_sigma if prior_sigma is not None else 1e6
+        state,
+        prior_sigma=prior_sigma if prior_sigma is not None else 1e6,
+        signs=signs,
     )
     theta = jnp.log(
         jnp.abs(
@@ -53,6 +60,9 @@ def fit_map(
     @jax.jit
     def step(theta, opt_state):
         loss, g = jax.value_and_grad(lambda t: -logp(t))(theta)
+        # at a numerically non-PSD point the density is -inf and the
+        # gradient non-finite; freeze rather than poison the iterate
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
         updates, opt_state = opt.update(g, opt_state)
         theta = optax.apply_updates(theta, updates)
         return theta, opt_state, loss
@@ -64,9 +74,9 @@ def fit_map(
             break
         prev = loss
 
-    raw = jnp.exp(theta)
+    raw = signs * jnp.exp(theta)
     kernel = state.kernel.with_params(raw[:nb])
-    state = state.replace(kernel=kernel, noise=raw[nb])
+    state = state.replace(kernel=kernel, noise=jnp.abs(raw[nb]))
     state, ok = rebuild_cholesky(state)
     if not bool(ok):
         raise CholeskyError(

@@ -23,14 +23,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
+from .partition import pick_block as _pick_block
+
 Array = jnp.ndarray
-
-
-def _pick_block(n: int, target: int) -> int:
-    b = min(target, n)
-    while n % b:
-        b -= 1
-    return b
 
 
 @functools.partial(jax.jit, static_argnames=("block", "transposed"))

@@ -213,10 +213,10 @@ def hybrid_cholesky_factor(
     cap = x_pad.shape[0]
     if cap % 2:
         raise ValueError("hybrid factorization needs even capacity")
+    from .partition import pick_block
+
     h = cap // 2
-    b = min(block, h)
-    while h % b:
-        b -= 1
+    b = pick_block(h, block)
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     return _hybrid_impl(
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),

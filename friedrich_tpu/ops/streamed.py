@@ -117,9 +117,10 @@ def streamed_cholesky_factor(
     ``capacity % block == 0`` (callers pick block accordingly; any block
     that divides capacity works, smaller than 128 wastes the MXU).
     """
+    from .partition import pick_block
+
     cap = x_pad.shape[0]
-    if cap % block != 0:
-        block = max(g for g in range(1, min(block, cap) + 1) if cap % g == 0)
+    block = pick_block(cap, block)
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     return _streamed_cholesky_impl(
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),

@@ -62,10 +62,10 @@ def streamed_grad_matvec(
     ``gradient_covariances_padded``), so products over the full buffer
     equal the live ones.
     """
+    from .partition import pick_block
+
     cap = x_pad.shape[0]
-    b = min(block, cap)
-    while cap % b:
-        b -= 1
+    b = pick_block(cap, block)
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     v2 = v if v.ndim == 2 else v[:, None]
     out = _grad_matvec_impl(

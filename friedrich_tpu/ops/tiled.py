@@ -121,10 +121,10 @@ def tiled_cholesky_factor(kernel, x_pad: Array, n, noise,
                           method: str = "gram") -> tuple[Array, Array]:
     """Covariance build (strip-wise, low-peak-memory) + in-place tiled
     factorization."""
+    from .partition import pick_block
+
     cap = x_pad.shape[0]
-    b = min(block, cap)
-    while cap % b:
-        b -= 1
+    b = pick_block(cap, block)
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     k_mat = _build_cov_strips(
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),

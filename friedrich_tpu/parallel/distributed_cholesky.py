@@ -41,11 +41,7 @@ from ..ops.covariance import cross_covariance
 Array = jnp.ndarray
 
 
-def _pick_block(local_rows: int, target: int) -> int:
-    b = min(target, local_rows)
-    while local_rows % b:
-        b -= 1
-    return b
+from ..ops.partition import pick_block as _pick_block
 
 
 def distributed_cholesky_factor(

@@ -58,10 +58,10 @@ def _solve(mesh, l_sharded, c, block, transposed):
     cap = c.shape[0]
     m = c.shape[1] if c.ndim == 2 else 1
     c2 = c.reshape(cap, m)
+    from ..ops.partition import pick_block
+
     local_rows = cap // n_dev
-    b = min(block, local_rows)
-    while local_rows % b:
-        b -= 1
+    b = pick_block(local_rows, block)
     num_panels = cap // b
 
     def body(l_local, c_rep):

@@ -94,3 +94,22 @@ def test_add_samples_then_refit_matches_oracle():
     np.testing.assert_allclose(gp.noise, ogp.noise, rtol=1e-5)
     xq = [[1.0], [2.0], [3.0]]
     np.testing.assert_allclose(gp.predict(xq), ogp.predict(xq), rtol=1e-5, atol=1e-7)
+
+
+def test_failed_add_samples_leaves_model_unchanged():
+    """Regression: a non-PSD append must raise WITHOUT corrupting the GP."""
+    x = [[1.0], [2.0], [3.0]]
+    y = [1.0, 2.0, 3.0]
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.0, None, x, y,
+        capacity=8,
+    )
+    before_pred = gp.predict([1.5])
+    before_n = gp.num_samples
+    with np.testing.assert_raises(ft.CholeskyError):
+        gp.add_samples([[1.0], [1.0]], [1.0, 1.0])  # duplicates, zero noise
+    assert gp.num_samples == before_n
+    np.testing.assert_allclose(gp.predict([1.5]), before_pred)
+    # and the model still works for valid appends afterwards
+    gp.add_samples([[4.0]], [4.0])
+    assert gp.num_samples == 4

@@ -211,3 +211,20 @@ def test_baseline_config2_multidim_fitted(kern, okern):
         np.asarray(gp.predict_variance(xq)), ogp.predict_variance(xq),
         rtol=1e-6, atol=1e-8,
     )
+
+
+def test_map_fit_preserves_negative_parameter_signs():
+    """Regression: fit_map must not flip legitimately negative params."""
+    from friedrich_tpu.models.map_fit import fit_map
+
+    x = RNG.normal(size=(20, 2))
+    y = x[:, 0] * x[:, 1] + 0.05 * RNG.normal(size=20)
+    # a negative Linear.c makes K indefinite in general; the epsilon
+    # substitution keeps the factorization defined so the test isolates the
+    # sign-preservation mechanics of the fit
+    kern = fk.SquaredExp(ls=1.0, ampl=1.0) + fk.Linear(c=-0.5)
+    gp = ft.GaussianProcess.new(fp.ZeroPrior(), kern, 0.5, 1e-6, x, y)
+    state = fit_map(gp.state, num_steps=30)
+    params = np.asarray(state.kernel.get_params())
+    assert params[2] < 0  # Linear.c stays in the negative family
+    assert params[0] > 0 and params[1] > 0
