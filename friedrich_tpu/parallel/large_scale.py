@@ -236,3 +236,67 @@ class LargeScaleGP:
 
             if (not progress) or (time.monotonic() - t0 > max_time):
                 break
+
+    def fit_generic(
+        self,
+        max_iter: int = DEFAULT_MAX_ITER,
+        convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
+        max_time: float = DEFAULT_MAX_TIME,
+        num_probes: int = 8,
+        seed: int = 0,
+    ) -> None:
+        """Generic-path ADAM fit (``optimizer.rs:69-149`` rules) at scale:
+        any kernel, noise fitted in log-space; ``tr(K^-1 dK)`` and
+        ``tr(K^-1)`` via the fixed-seed Hutchinson estimator with
+        distributed solves."""
+        cap = self.x.shape[0]
+        dtype = self.x.dtype
+        key = jax.random.PRNGKey(seed)
+        probes = jnp.sign(jax.random.normal(key, (cap, num_probes), dtype=dtype))
+        live = (jnp.arange(cap) < self.n)[:, None]
+        probes = jnp.where(live, probes, 0.0)
+
+        kparams = self.kernel.get_params()
+        kparams = jnp.where(kparams == 0.0, ADAM_EPS, kparams)
+        params = jnp.concatenate([kparams, jnp.log(self.noise)[None]])
+        m_acc = jnp.zeros_like(params)
+        v_acc = jnp.zeros_like(params)
+
+        t0 = time.monotonic()
+        for i in range(1, max_iter + 1):
+            alpha = distributed_cho_solve(
+                self.mesh, self.l_sharded, self.resid[:, None], self.block
+            )[:, 0]
+            dk_alpha = streamed_grad_matvec(
+                self.kernel, self.x, self.n, alpha, method=self.method
+            )
+            data_fit = dk_alpha @ alpha
+            kinv_z = distributed_cho_solve(
+                self.mesh, self.l_sharded, probes, self.block
+            )
+            dk_z = streamed_grad_matvec(
+                self.kernel, self.x, self.n, probes, method=self.method
+            )
+            complexity = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
+            grads_kernel = (data_fit - complexity) / 2.0
+
+            # noise gradient (optimizer.rs:52-57) with Hutchinson trace and
+            # the log-space correction (optimizer.rs:105-110)
+            tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
+            noise_grad = self.noise * (alpha @ alpha - tr_kinv) * self.noise
+            grads = jnp.concatenate([grads_kernel, noise_grad[None]])
+
+            m_acc = BETA1 * m_acc + (1 - BETA1) * grads
+            v_acc = BETA2 * v_acc + (1 - BETA2) * grads * grads
+            mb = m_acc / (1 - BETA1**i)
+            vb = v_acc / (1 - BETA2**i)
+            delta = LEARNING_RATE * mb / (jnp.sqrt(vb) + ADAM_EPS)
+            progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
+            params = params * (1.0 + delta)
+
+            self.kernel = self.kernel.with_params(params[:-1])
+            self.noise = jnp.exp(params[-1])
+            self._factor()
+
+            if (not progress) or (time.monotonic() - t0 > max_time):
+                break

@@ -115,3 +115,31 @@ def test_distributed_add_samples_matches_retrain():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8, atol=1e-11)
     with pytest.raises(ValueError):
         big.add_samples(jnp.zeros((100, 2)), jnp.zeros((100,)))
+
+
+def test_large_scale_generic_fit_tracks_exact_reference_path():
+    """The Hutchinson generic fit must follow the exact reference
+    trajectory (the reference's multiplicative ADAM itself may or may not
+    improve the LML on a given problem — parity with it is the criterion,
+    matching `optimizer.rs:69-149` behavior)."""
+    x, y = _data(n=120)
+    mesh = make_matrix_mesh(8)
+    # RationalQuadratic is not scalable -> exercises the generic path
+    big = LargeScaleGP(
+        mesh, fk.RationalQuadratic(alpha=1.0, ls=1.0), fp.ZeroPrior(), 0.3,
+        x, y, block=16,
+    )
+    big.fit_generic(max_iter=6, convergence_fraction=1e-12, num_probes=16)
+
+    ref = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.RationalQuadratic(alpha=1.0, ls=1.0), 0.3, None, x, y
+    )
+    ref.fit_parameters(False, True, max_iter=6, convergence_fraction=1e-12)
+
+    np.testing.assert_allclose(
+        np.asarray(big.kernel.get_params()),
+        np.asarray(ref.kernel.get_params()),
+        rtol=0.1,
+    )
+    np.testing.assert_allclose(float(big.noise), ref.noise, rtol=0.1)
+    assert np.isfinite(big.log_marginal_likelihood())
