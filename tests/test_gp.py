@@ -183,3 +183,28 @@ def test_predict_in_batches_matches_unbatched():
     m, v = gp.predict_mean_variance(jnp.asarray(xq))
     np.testing.assert_array_equal(np.asarray(mb), np.asarray(m))
     np.testing.assert_array_equal(np.asarray(vb), np.asarray(v))
+
+
+def test_direct_distance_method_end_to_end():
+    """The 'direct' (broadcast-diff) distance path through builder + fit +
+    predict matches the oracle like the default gram path."""
+    x = RNG.normal(size=(10, 2))
+    y = np.sin(x[:, 0])
+    gp = (
+        ft.GaussianProcess.builder(x, y)
+        .set_distance_method("direct")
+        .set_noise(0.2)
+        .fit_kernel()
+        .set_fit_parameters(5, 1e-12)
+        .train()
+    )
+    ogp = orc.OracleGP(
+        orc.OConstantPrior(0.0),
+        (lambda k: (k.heuristic_fit(x, y), k)[1])(orc.OSquaredExp()),
+        0.2, x, y,
+    )
+    ogp.scaled_optimize_parameters(5, 1e-12)
+    xq = RNG.normal(size=(4, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp.predict(xq)), ogp.predict(xq), rtol=1e-6, atol=1e-8
+    )

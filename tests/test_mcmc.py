@@ -11,6 +11,7 @@ import friedrich_tpu as ft
 import friedrich_tpu.kernels as fk
 import friedrich_tpu.priors as fp
 from friedrich_tpu.mcmc import (
+    ess,
     make_hyperparam_logprob,
     initial_theta,
     rhat,
@@ -253,3 +254,20 @@ def test_predictive_mixture_marginalizes_sensibly():
     np.testing.assert_allclose(
         np.asarray(draws.mean(axis=0)), np.asarray(mix_mean), atol=0.8
     )
+
+
+def test_ess_collapses_for_unmixed_chains():
+    """Regression for the var+ normalization: chains stuck in different
+    modes must yield tiny ESS, not ~s*c."""
+    rng = np.random.default_rng(0)
+    s, c = 400, 4
+    offsets = np.array([-10.0, -3.0, 3.0, 10.0])
+    draws = rng.normal(size=(s, c, 1)) * 0.5 + offsets[None, :, None]
+    samples = jnp.asarray(draws)
+    e = float(ess(samples)[0])
+    r = float(rhat(samples)[0])
+    assert r > 2.0  # definitely unmixed
+    assert e < 50  # far below s*c = 1600
+    # well-mixed iid chains: ESS near the sample count
+    good = jnp.asarray(rng.normal(size=(s, c, 1)))
+    assert float(ess(good)[0]) > 0.5 * s * c
