@@ -36,7 +36,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from .cholesky import _unblocked_cholesky_substitute
 from .streamed import _streamed_cholesky_impl
 
 Array = jnp.ndarray
@@ -147,47 +146,11 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
     l_full = lax.fori_loop(0, num_panels2, s22_panel, l_full)
 
     # L22: MAC-optimal tiled factorization of the S22 region IN PLACE inside
-    # l_full (right-looking over (B, B) tiles at static offset h).
-    nb2 = h // block
+    # l_full (shared tile loop with the `tiled` backend; mirror_diag because
+    # the region strips store the lower half only).
+    from .tiled import region_cholesky_inplace
 
-    def region_panel(j, l_full):
-        j0 = h + j * block
-        diag = lax.dynamic_slice(l_full, (j0, j0), (block, block))
-        # only the lower half of region tiles is stored; mirror it, since
-        # XLA's cholesky symmetrizes its input (zero upper would halve the
-        # off-diagonal entries)
-        low = jnp.tril(diag)
-        diag = low + jnp.tril(diag, -1).T
-        if eps is None:
-            ld = jnp.linalg.cholesky(diag)
-        else:
-            ld = _unblocked_cholesky_substitute(diag, eps)
-        l_full = lax.dynamic_update_slice(l_full, ld, (j0, j0))
-
-        def trsm(i, l_full):
-            i0 = h + i * block
-            a = lax.dynamic_slice(l_full, (i0, j0), (block, block))
-            lij = solve_triangular(ld, a.T, lower=True).T
-            return lax.dynamic_update_slice(l_full, lij, (i0, j0))
-
-        l_full = lax.fori_loop(j + 1, nb2, trsm, l_full)
-
-        def syrk_i(i, l_full):
-            i0 = h + i * block
-            lij = lax.dynamic_slice(l_full, (i0, j0), (block, block))
-
-            def syrk_k(kk, l_full):
-                k0 = h + kk * block
-                lkj = lax.dynamic_slice(l_full, (k0, j0), (block, block))
-                a = lax.dynamic_slice(l_full, (i0, k0), (block, block))
-                a = a - jnp.dot(lij, lkj.T, preferred_element_type=dtype)
-                return lax.dynamic_update_slice(l_full, a, (i0, k0))
-
-            return lax.fori_loop(j + 1, i + 1, syrk_k, l_full)
-
-        return lax.fori_loop(j + 1, nb2, syrk_i, l_full)
-
-    l_full = lax.fori_loop(0, nb2, region_panel, l_full)
+    l_full = region_cholesky_inplace(l_full, h, h // block, block, eps, True)
 
     diag_v = jnp.diagonal(l_full)
     ok2 = jnp.all(jnp.isfinite(diag_v))

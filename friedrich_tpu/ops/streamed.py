@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .cholesky import _unblocked_cholesky_substitute
+from .cholesky import cholesky_with_substitute
 from .covariance import cross_covariance
 
 Array = jnp.ndarray
@@ -90,7 +90,9 @@ def _streamed_cholesky_impl(
         if eps is None:
             ld = jnp.linalg.cholesky(diag_blk)
         else:
-            ld = _unblocked_cholesky_substitute(diag_blk, eps)
+            # blocked pivot substitution (128-wide inner loops; the
+            # bulk of the panel stays in MXU GEMMs)
+            ld = cholesky_with_substitute(diag_blk, eps, block=128)
         t = solve_triangular(ld, s.T, lower=True).T  # (cap, block)
         strip = lax.dynamic_update_slice(t, ld, (j0, 0))
         strip = jnp.where(rows_all < j0, 0.0, strip)

@@ -29,11 +29,61 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .cholesky import _unblocked_cholesky_substitute
+from .cholesky import cholesky_with_substitute
 
 Array = jnp.ndarray
 
 DEFAULT_TILE = 2048
+
+
+def region_cholesky_inplace(m: Array, base: int, nb: int, block: int,
+                            eps: Optional[float], mirror_diag: bool) -> Array:
+    """Right-looking tiled Cholesky of the ``nb*block``-sized region of
+    ``m`` starting at static offset (base, base), in place.
+
+    The shared tile loop behind both the whole-matrix ``tiled`` backend
+    (base=0) and the hybrid factorizer's S22 region (base=cap/2).
+    ``mirror_diag`` reconstructs symmetric diagonal tiles from their lower
+    half (for callers that store region strips lower-only)."""
+    dtype = m.dtype
+
+    def panel(j, k):
+        j0 = base + j * block
+        diag = lax.dynamic_slice(k, (j0, j0), (block, block))
+        if mirror_diag:
+            # XLA's cholesky symmetrizes input; zero upper would halve the
+            # off-diagonal entries
+            diag = jnp.tril(diag) + jnp.tril(diag, -1).T
+        if eps is None:
+            ld = jnp.linalg.cholesky(diag)
+        else:
+            ld = cholesky_with_substitute(diag, eps, block=128)
+        k = lax.dynamic_update_slice(k, ld, (j0, j0))
+
+        def trsm(i, k):
+            i0 = base + i * block
+            a = lax.dynamic_slice(k, (i0, j0), (block, block))
+            lij = solve_triangular(ld, a.T, lower=True).T
+            return lax.dynamic_update_slice(k, lij, (i0, j0))
+
+        k = lax.fori_loop(j + 1, nb, trsm, k)
+
+        def syrk_i(i, k):
+            i0 = base + i * block
+            lij = lax.dynamic_slice(k, (i0, j0), (block, block))
+
+            def syrk_k(kk, k):
+                k0 = base + kk * block
+                lkj = lax.dynamic_slice(k, (k0, j0), (block, block))
+                a = lax.dynamic_slice(k, (i0, k0), (block, block))
+                a = a - jnp.dot(lij, lkj.T, preferred_element_type=dtype)
+                return lax.dynamic_update_slice(k, a, (i0, k0))
+
+            return lax.fori_loop(j + 1, i + 1, syrk_k, k)
+
+        return lax.fori_loop(j + 1, nb, syrk_i, k)
+
+    return lax.fori_loop(0, nb, panel, m)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "eps"), donate_argnums=(0,))
@@ -47,42 +97,7 @@ def tiled_cholesky_inplace(k_mat: Array, eps: Optional[float] = None,
     num_panels = cap // block
     dtype = k_mat.dtype
 
-    def panel(j, k):
-        j0 = j * block
-        z = jnp.zeros_like(j0)
-        diag = lax.dynamic_slice(k, (j0, j0), (block, block))
-        if eps is None:
-            ld = jnp.linalg.cholesky(diag)
-        else:
-            ld = _unblocked_cholesky_substitute(diag, eps)
-        k = lax.dynamic_update_slice(k, ld, (j0, j0))
-
-        def trsm(i, k):
-            i0 = i * block
-            a = lax.dynamic_slice(k, (i0, j0), (block, block))
-            lij = solve_triangular(ld, a.T, lower=True).T
-            return lax.dynamic_update_slice(k, lij, (i0, j0))
-
-        k = lax.fori_loop(j + 1, num_panels, trsm, k)
-
-        def syrk_i(i, k):
-            i0 = i * block
-            lij = lax.dynamic_slice(k, (i0, j0), (block, block))
-
-            def syrk_k(kk, k):
-                k0 = kk * block
-                lkj = lax.dynamic_slice(k, (k0, j0), (block, block))
-                a = lax.dynamic_slice(k, (i0, k0), (block, block))
-                a = a - jnp.dot(lij, lkj.T, preferred_element_type=dtype)
-                return lax.dynamic_update_slice(k, a, (i0, k0))
-
-            return lax.fori_loop(j + 1, i + 1, syrk_k, k)
-
-        k = lax.fori_loop(j + 1, num_panels, syrk_i, k)
-        del z
-        return k
-
-    k_mat = lax.fori_loop(0, num_panels, panel, k_mat)
+    k_mat = region_cholesky_inplace(k_mat, 0, num_panels, block, eps, False)
     # mask the stale upper triangle in place (elementwise select aliases the
     # loop carry buffer; jnp.tril at this size would double peak HBM)
     rows = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)

@@ -25,7 +25,34 @@ from ..ops.cholesky import _unblocked_cholesky_substitute
 from ..ops.covariance import cross_covariance, cross_covariance_train_padded
 from .distributed_solve import distributed_solve_lower
 
+import functools
+
+import jax
+
 Array = jnp.ndarray
+
+
+@functools.lru_cache(maxsize=64)
+def _build_row_write_program(mesh, cap, k, local_rows):
+    """Cached shard_map program for the masked owner-row write."""
+    axes = tuple(mesh.axis_names)
+
+    def body(l_local, new_rows_rep, n_rep):
+        rank = lax.axis_index(axes)
+        row0 = rank * local_rows
+        rows_global = row0 + jnp.arange(local_rows)
+        n_v = n_rep[0]
+        in_range = (rows_global >= n_v) & (rows_global < n_v + k)
+        idx = jnp.clip(rows_global - n_v, 0, k - 1)
+        candidate = jnp.take(new_rows_rep, idx, axis=0)  # (local_rows, cap)
+        return jnp.where(in_range[:, None], candidate, l_local)
+
+    spec_rows = P(axes if len(axes) > 1 else axes[0])
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(spec_rows, P(), P()), out_specs=spec_rows,
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 def distributed_cholesky_append(
@@ -67,20 +94,5 @@ def distributed_cholesky_append(
         new_rows, l22, (jnp.zeros_like(jnp.asarray(n)), jnp.asarray(n))
     )
 
-    n_arr = jnp.asarray(n, jnp.int32)
-
-    def body(l_local, new_rows_rep):
-        rank = lax.axis_index(axes)
-        row0 = rank * local_rows
-        rows_global = row0 + jnp.arange(local_rows)
-        in_range = (rows_global >= n_arr) & (rows_global < n_arr + k)
-        idx = jnp.clip(rows_global - n_arr, 0, k - 1)
-        candidate = jnp.take(new_rows_rep, idx, axis=0)  # (local_rows, cap)
-        return jnp.where(in_range[:, None], candidate, l_local)
-
-    spec_rows = P(axes if len(axes) > 1 else axes[0])
-    fn = shard_map(
-        body, mesh=mesh, in_specs=(spec_rows, P()), out_specs=spec_rows,
-        check_rep=False,
-    )
-    return fn(l_sharded, new_rows)
+    fn = _build_row_write_program(mesh, cap, k, local_rows)
+    return fn(l_sharded, new_rows, jnp.asarray([n], jnp.int32))

@@ -43,31 +43,18 @@ Array = jnp.ndarray
 
 from ..ops.partition import pick_block as _pick_block
 
+import functools
 
-def distributed_cholesky_factor(
-    mesh: Mesh,
-    kernel,
-    x_pad: Array,
-    n,
-    noise,
-    eps: Optional[float] = None,
-    block: int = 512,
-    method: str = "gram",
-) -> tuple[Array, Array]:
-    """Fused covariance build + Cholesky, row-sharded over the whole mesh.
 
-    Returns (L, ok) with L row-sharded; callers can keep it sharded for
-    distributed solves or gather it.
-    """
+@functools.lru_cache(maxsize=64)
+def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method):
+    """Build + jit the shard_map factorization ONCE per (mesh, shapes,
+    statics) — repeated calls (e.g. every fit iteration) reuse the
+    compiled program instead of re-tracing the panel loops."""
     axes = tuple(mesh.axis_names)
     n_dev = mesh.size
-    cap, d = x_pad.shape
-    if cap % n_dev:
-        raise ValueError(f"capacity {cap} not divisible by {n_dev} devices")
     local_rows = cap // n_dev
-    block = _pick_block(local_rows, block)
     num_panels = cap // block
-    leaves, treedef = jax.tree_util.tree_flatten(kernel)
 
     def body(x_local, n_arr, noise_arr, *kleaves):
         kern = jax.tree_util.tree_unflatten(treedef, kleaves)
@@ -148,9 +135,36 @@ def distributed_cholesky_factor(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_rows, P(), P()) + tuple(P() for _ in leaves),
+        in_specs=(spec_rows, P(), P()) + tuple(P() for _ in range(num_leaves)),
         out_specs=(spec_rows, P()),
         check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_cholesky_factor(
+    mesh: Mesh,
+    kernel,
+    x_pad: Array,
+    n,
+    noise,
+    eps: Optional[float] = None,
+    block: int = 512,
+    method: str = "gram",
+) -> tuple[Array, Array]:
+    """Fused covariance build + Cholesky, row-sharded over the whole mesh.
+
+    Returns (L, ok) with L row-sharded; callers can keep it sharded for
+    distributed solves or gather it.
+    """
+    n_dev = mesh.size
+    cap, d = x_pad.shape
+    if cap % n_dev:
+        raise ValueError(f"capacity {cap} not divisible by {n_dev} devices")
+    block = _pick_block(cap // n_dev, block)
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+    fn = _build_factor_program(
+        mesh, treedef, len(leaves), cap, d, block, eps, method
     )
     l_mat, ok = fn(
         x_pad,

@@ -19,6 +19,7 @@ are local to each device, so the contribution sum is a psum too.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental.shard_map import shard_map
@@ -26,12 +27,6 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jnp.ndarray
-
-
-def _local_meta(axes, local_rows):
-    rank = lax.axis_index(axes)
-    row0 = rank * local_rows
-    return rank, row0
 
 
 def distributed_solve_lower(
@@ -52,16 +47,16 @@ def distributed_solve_lower_t(
     return _solve(mesh, l_local_rows, c, block, transposed=True)
 
 
-def _solve(mesh, l_sharded, c, block, transposed):
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _build_solve_program(mesh, cap, m, b, transposed):
+    """Build + jit the shard_map sweep ONCE per (mesh, shapes, direction) —
+    repeated solves reuse the compiled program."""
     axes = tuple(mesh.axis_names)
     n_dev = mesh.size
-    cap = c.shape[0]
-    m = c.shape[1] if c.ndim == 2 else 1
-    c2 = c.reshape(cap, m)
-    from ..ops.partition import pick_block
-
     local_rows = cap // n_dev
-    b = pick_block(local_rows, block)
     num_panels = cap // b
 
     def body(l_local, c_rep):
@@ -92,7 +87,7 @@ def _solve(mesh, l_sharded, c, block, transposed):
                 cols = jnp.arange(cap)
                 l_left = jnp.where(cols[None, :] < j0, l_rows, 0.0)
                 rhs = lax.dynamic_slice(
-                    c2, (j0, jnp.zeros_like(j0)), (b, m)
+                    c_rep, (j0, jnp.zeros_like(j0)), (b, m)
                 ) - jnp.dot(l_left, y, preferred_element_type=dtype)
                 ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
                 yj = solve_triangular(ld, rhs, lower=True)
@@ -123,7 +118,7 @@ def _solve(mesh, l_sharded, c, block, transposed):
                     axes,
                 )
                 rhs = lax.dynamic_slice(
-                    c2, (j0, jnp.zeros_like(j0)), (b, m)
+                    c_rep, (j0, jnp.zeros_like(j0)), (b, m)
                 ) - contrib
                 l_rows = owner_bcast(l_local, off, owned, b)
                 ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
@@ -142,6 +137,18 @@ def _solve(mesh, l_sharded, c, block, transposed):
         out_specs=P(),
         check_rep=False,
     )
+    return jax.jit(fn)
+
+
+def _solve(mesh, l_sharded, c, block, transposed):
+    from ..ops.partition import pick_block
+
+    n_dev = mesh.size
+    cap = c.shape[0]
+    m = c.shape[1] if c.ndim == 2 else 1
+    c2 = c.reshape(cap, m)
+    b = pick_block(cap // n_dev, block)
+    fn = _build_solve_program(mesh, cap, m, b, transposed)
     y = fn(l_sharded, c2)
     return y.reshape(c.shape)
 

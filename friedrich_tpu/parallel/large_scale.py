@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..config import DEFAULT_CONVERGENCE_FRACTION, DEFAULT_MAX_ITER, DEFAULT_MAX_TIME
-from ..models.optimizer import ADAM_EPS, BETA1, BETA2, LEARNING_RATE
+from ..models.optimizer import ADAM_EPS, AdamState, _adam_delta
 from ..ops.covariance import cross_covariance_train_padded, kernel_diag
 from ..ops.streamed_matvec import streamed_grad_matvec
 from ..utils.errors import CholeskyError
@@ -143,10 +143,22 @@ class LargeScaleGP:
         self.resid = self.resid.at[self.n : self.n + k].set(
             y_new - self.prior.mean(x_new)
         )
-        self.l_sharded = distributed_cholesky_append(
+        new_l = distributed_cholesky_append(
             self.mesh, self.l_sharded, self.kernel, self.x, self.n, x_new,
             self.noise, eps=self.eps, block=self.block, method=self.method,
         )
+        diag = jax.jit(jnp.diagonal)(new_l)
+        if not bool(jnp.all(jnp.isfinite(diag))):
+            # roll back the staged inputs; the model stays usable
+            self.x = self.x.at[self.n : self.n + k].set(0.0)
+            self.resid = self.resid.at[self.n : self.n + k].set(0.0)
+            raise CholeskyError(
+                "distributed add_samples: rank-update failed (appended "
+                "points make the covariance non-PSD); consider "
+                "`cholesky_epsilon` or more noise. The model was left "
+                "unchanged."
+            )
+        self.l_sharded = new_l
         self.n += k
 
     # -- scores --------------------------------------------------------------
@@ -156,11 +168,44 @@ class LargeScaleGP:
             self.mesh, self.l_sharded, self.resid[:, None], self.block
         )[:, 0]
         data_fit = float(jnp.sum(ol * ol))
-        diag = jnp.diagonal(jax.device_get(self.l_sharded))[: self.n]
+        # diagonal extracted on-device (SPMD-safe; never pulls the (cap, cap)
+        # sharded factor to the host)
+        diag = jax.jit(jnp.diagonal)(self.l_sharded)[: self.n]
         logdet = 2.0 * float(jnp.sum(jnp.log(diag)))
         return -(data_fit + logdet + self.n * float(np.log(2 * np.pi))) / 2.0
 
     # -- hyperparameter fit ----------------------------------------------------
+
+    def _probes(self, num_probes: int, seed: int) -> Array:
+        """Fixed-seed Rademacher probes, zeroed on dead rows (shared by both
+        fit paths so results are reproducible across them)."""
+        cap = self.x.shape[0]
+        key = jax.random.PRNGKey(seed)
+        probes = jnp.sign(
+            jax.random.normal(key, (cap, num_probes), dtype=self.x.dtype)
+        )
+        live = (jnp.arange(cap) < self.n)[:, None]
+        return jnp.where(live, probes, 0.0)
+
+    def _gradient_terms(self, probes: Array):
+        """alpha = K^-1 r (distributed sweeps), exact data-fit terms via
+        streamed dK matvecs, and Hutchinson complexity terms
+        tr(K^-1 dK_p) ~= mean_z (K^-1 z).(dK_p z)."""
+        alpha = distributed_cho_solve(
+            self.mesh, self.l_sharded, self.resid[:, None], self.block
+        )[:, 0]
+        dk_alpha = streamed_grad_matvec(
+            self.kernel, self.x, self.n, alpha, method=self.method
+        )
+        data_fit = dk_alpha @ alpha
+        kinv_z = distributed_cho_solve(
+            self.mesh, self.l_sharded, probes, self.block
+        )
+        dk_z = streamed_grad_matvec(
+            self.kernel, self.x, self.n, probes, method=self.method
+        )
+        complexity = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
+        return alpha, data_fit, complexity, kinv_z
 
     def fit_scaled(
         self,
@@ -177,61 +222,27 @@ class LargeScaleGP:
                 "large-scale fit currently implements the scaled path "
                 "(scalable kernels: SquaredExp/Exponential/Matern)"
             )
-        cap = self.x.shape[0]
-        dtype = self.x.dtype
-        key = jax.random.PRNGKey(seed)
-        probes = (
-            jax.random.rademacher(key, (cap, num_probes), dtype=dtype)
-            if hasattr(jax.random, "rademacher")
-            else jnp.sign(jax.random.normal(key, (cap, num_probes), dtype=dtype))
-        )
-        live = (jnp.arange(cap) < self.n)[:, None]
-        probes = jnp.where(live, probes, 0.0)
-
+        probes = self._probes(num_probes, seed)
         params = self.kernel.get_params()
         params = jnp.where(params == 0.0, ADAM_EPS, params)
-        m_acc = jnp.zeros_like(params)
-        v_acc = jnp.zeros_like(params)
+        adam = AdamState(
+            params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
+        )
 
         t0 = time.monotonic()
         for i in range(1, max_iter + 1):
-            alpha = distributed_cho_solve(
-                self.mesh, self.l_sharded, self.resid[:, None], self.block
-            )[:, 0]
+            alpha, data_fit, complexity, _ = self._gradient_terms(probes)
             scale = float(self.resid @ alpha) / self.n
-
-            # exact data-fit terms via streamed dK matvec
-            dk_alpha = streamed_grad_matvec(
-                self.kernel, self.x, self.n, alpha, method=self.method
-            )  # (p, cap)
-            data_fit = dk_alpha @ alpha  # (p,)
-
-            # Hutchinson: tr(K^-1 dK_p) ~ mean_z (K^-1 z).(dK_p z)
-            kinv_z = distributed_cho_solve(
-                self.mesh, self.l_sharded, probes, self.block
-            )  # (cap, s)
-            dk_z = streamed_grad_matvec(
-                self.kernel, self.x, self.n, probes, method=self.method
-            )  # (p, cap, s)
-            complexity = jnp.mean(
-                jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1
-            )
-
             grads = (data_fit / scale - complexity) / 2.0
 
-            m_acc = BETA1 * m_acc + (1 - BETA1) * grads
-            v_acc = BETA2 * v_acc + (1 - BETA2) * grads * grads
-            mb = m_acc / (1 - BETA1**i)
-            vb = v_acc / (1 - BETA2**i)
-            delta = LEARNING_RATE * mb / (jnp.sqrt(vb) + ADAM_EPS)
+            adam, delta = _adam_delta(adam, grads, jnp.asarray(i))
             progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
-            params = params * (1.0 + delta)
 
-            kernel = self.kernel.with_params(params)
+            kernel = self.kernel.with_params(adam.params)
             kernel = kernel.rescale(scale)
             self.noise = self.noise * scale
             self.kernel = kernel
-            params = kernel.get_params()
+            adam = adam.replace(params=kernel.get_params())
             self._factor()
 
             if (not progress) or (time.monotonic() - t0 > max_time):
@@ -249,35 +260,17 @@ class LargeScaleGP:
         any kernel, noise fitted in log-space; ``tr(K^-1 dK)`` and
         ``tr(K^-1)`` via the fixed-seed Hutchinson estimator with
         distributed solves."""
-        cap = self.x.shape[0]
-        dtype = self.x.dtype
-        key = jax.random.PRNGKey(seed)
-        probes = jnp.sign(jax.random.normal(key, (cap, num_probes), dtype=dtype))
-        live = (jnp.arange(cap) < self.n)[:, None]
-        probes = jnp.where(live, probes, 0.0)
-
+        probes = self._probes(num_probes, seed)
         kparams = self.kernel.get_params()
         kparams = jnp.where(kparams == 0.0, ADAM_EPS, kparams)
         params = jnp.concatenate([kparams, jnp.log(self.noise)[None]])
-        m_acc = jnp.zeros_like(params)
-        v_acc = jnp.zeros_like(params)
+        adam = AdamState(
+            params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
+        )
 
         t0 = time.monotonic()
         for i in range(1, max_iter + 1):
-            alpha = distributed_cho_solve(
-                self.mesh, self.l_sharded, self.resid[:, None], self.block
-            )[:, 0]
-            dk_alpha = streamed_grad_matvec(
-                self.kernel, self.x, self.n, alpha, method=self.method
-            )
-            data_fit = dk_alpha @ alpha
-            kinv_z = distributed_cho_solve(
-                self.mesh, self.l_sharded, probes, self.block
-            )
-            dk_z = streamed_grad_matvec(
-                self.kernel, self.x, self.n, probes, method=self.method
-            )
-            complexity = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
+            alpha, data_fit, complexity, kinv_z = self._gradient_terms(probes)
             grads_kernel = (data_fit - complexity) / 2.0
 
             # noise gradient (optimizer.rs:52-57) with Hutchinson trace and
@@ -286,16 +279,11 @@ class LargeScaleGP:
             noise_grad = self.noise * (alpha @ alpha - tr_kinv) * self.noise
             grads = jnp.concatenate([grads_kernel, noise_grad[None]])
 
-            m_acc = BETA1 * m_acc + (1 - BETA1) * grads
-            v_acc = BETA2 * v_acc + (1 - BETA2) * grads * grads
-            mb = m_acc / (1 - BETA1**i)
-            vb = v_acc / (1 - BETA2**i)
-            delta = LEARNING_RATE * mb / (jnp.sqrt(vb) + ADAM_EPS)
+            adam, delta = _adam_delta(adam, grads, jnp.asarray(i))
             progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
-            params = params * (1.0 + delta)
 
-            self.kernel = self.kernel.with_params(params[:-1])
-            self.noise = jnp.exp(params[-1])
+            self.kernel = self.kernel.with_params(adam.params[:-1])
+            self.noise = jnp.exp(adam.params[-1])
             self._factor()
 
             if (not progress) or (time.monotonic() - t0 > max_time):

@@ -54,6 +54,8 @@ def make_chain_mesh(
     """A 1-D mesh for chain-parallel MCMC."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, found {len(devices)}")
     return Mesh(np.array(devices[:n]), (CHAIN_AXIS,))
 
 

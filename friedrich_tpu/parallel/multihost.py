@@ -29,8 +29,18 @@ def initialize(
     if num_processes is None and coordinator_address is None:
         try:
             jax.distributed.initialize()
-        except Exception:  # single-process environment
-            pass
+        except Exception as e:  # pragma: no cover - environment dependent
+            # Single-process environments raise here, which is fine — but a
+            # REAL pod-init failure must not silently degrade to one host.
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed.initialize() failed ({e}); continuing "
+                f"single-process. If this is a multi-host pod, fix the "
+                f"coordinator setup — collectives will otherwise span only "
+                f"local devices.",
+                RuntimeWarning,
+            )
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
