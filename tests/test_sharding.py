@@ -99,3 +99,34 @@ def test_dryrun_multichip_entrypoint():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_sharded_train_step_generic_path():
+    """Generic (non-scalable kernel) fit step under 2-D sharding matches the
+    single-device step."""
+    from friedrich_tpu.models.optimizer import _generic_step
+
+    x = jnp.asarray(RNG.normal(size=(48, 3)))
+    y = jnp.asarray(RNG.normal(size=(48,)))
+    kernel = fk.RationalQuadratic(alpha=1.1, ls=0.9)
+    state, ok = core.make_state(kernel, fp.ZeroPrior(), 0.25, x, y, cap=64)
+    assert bool(ok)
+    mesh = make_matrix_mesh(8)
+    params = jnp.concatenate(
+        [state.kernel.get_params(), jnp.log(state.noise)[None]]
+    )
+    adam = AdamState(params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params))
+    ref_state, ref_adam, _, ref_ok = _generic_step(
+        state, adam, jnp.asarray(1), jnp.asarray(0.05)
+    )
+    step = make_sharded_train_step(mesh, scalable=False)
+    out_state, out_adam, _, out_ok = step(
+        shard_state(state, mesh), adam, jnp.asarray(1), jnp.asarray(0.05)
+    )
+    assert bool(out_ok) and bool(ref_ok)
+    np.testing.assert_allclose(
+        np.asarray(out_adam.params), np.asarray(ref_adam.params), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.l), np.asarray(ref_state.l), rtol=1e-8, atol=1e-10
+    )
