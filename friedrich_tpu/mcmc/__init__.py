@@ -23,7 +23,7 @@ def sample_hyperparameters(
     "nuts" (default) or "hmc". Samples are log([kernel params..., noise]).
     """
     state = getattr(gp_or_state, "state", gp_or_state)
-    logp = make_hyperparam_logprob(state)
+    logp = make_hyperparam_logprob(state, signs=initial_signs(state))
     theta0 = initial_theta(state)
     fn = sample_nuts if sampler == "nuts" else sample_hmc
     return fn(

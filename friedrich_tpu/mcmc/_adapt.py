@@ -29,32 +29,19 @@ class WarmupResult(NamedTuple):
     inv_mass: Array
 
 
-def dual_averaging_warmup(
-    step_fn: Callable,
-    carry0: tuple,
-    get_positions: Callable[[tuple], Array],
-    num_warmup: int,
-    dim: int,
-    dtype,
-    key: jax.Array,
-    init_step_size: float = 0.1,
-    pool_mean=None,
-    pool_sum=None,
-) -> WarmupResult:
-    """Run warmup; ``step_fn(carry, eps, inv_mass, key) -> (carry, alpha)``
-    advances all local chains once and returns per-chain acceptance
-    statistics; ``get_positions(carry)`` exposes the (chains, dim) states
-    for mass estimation."""
-    pool_mean = pool_mean or (lambda v: v)
-    pool_sum = pool_sum or (lambda v: v)
+def _da_phase(
+    step_fn, carry0, get_positions, num_steps, inv_mass, dim, dtype, key,
+    init_step_size, pool_mean, pool_sum, welford_from,
+):
+    """One dual-averaging phase under a FIXED inv_mass; Welford statistics
+    collected from step ``welford_from`` onward."""
     mu = jnp.log(10.0 * init_step_size)
-    inv_mass_init = jnp.ones((dim,), dtype)
     num_local = get_positions(carry0).shape[0]
 
     def warmup_step(scan_carry, inputs):
         i, k = inputs
         carry, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_cnt = scan_carry
-        carry, alpha = step_fn(carry, jnp.exp(log_eps), inv_mass_init, k)
+        carry, alpha = step_fn(carry, jnp.exp(log_eps), inv_mass, k)
         acc_mean = pool_mean(jnp.mean(alpha))
         t = i.astype(dtype) + 1.0
         h_bar = (1.0 - 1.0 / (t + DA_T0)) * h_bar + (TARGET_ACCEPT - acc_mean) / (
@@ -63,9 +50,9 @@ def dual_averaging_warmup(
         log_eps = mu - jnp.sqrt(t) / DA_GAMMA * h_bar
         w = t ** (-DA_KAPPA)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        # Welford over the second warmup half, pooled across chains
+        # pooled Welford for the mass estimate
         theta = get_positions(carry)
-        in_window = i >= (num_warmup // 2)
+        in_window = i >= welford_from
         cnt = w_cnt + jnp.where(
             in_window, pool_sum(jnp.asarray(num_local, dtype)), 0.0
         )
@@ -78,7 +65,7 @@ def dual_averaging_warmup(
         w_m2 = w_m2 + upd * pool_sum(jnp.sum(delta * delta2, axis=0))
         return (carry, log_eps, log_eps_bar, h_bar, w_mean, w_m2, cnt), None
 
-    keys = jax.random.split(key, num_warmup)
+    keys = jax.random.split(key, num_steps)
     init = (
         carry0,
         jnp.log(jnp.asarray(init_step_size, dtype)),
@@ -88,10 +75,52 @@ def dual_averaging_warmup(
         jnp.zeros((dim,), dtype),
         jnp.asarray(0.0, dtype),
     )
-    (carry, _, log_eps_bar, _, w_mean, w_m2, w_cnt), _ = lax.scan(
-        warmup_step, init, (jnp.arange(num_warmup), keys)
+    (carry, _, log_eps_bar, _, _, w_m2, w_cnt), _ = lax.scan(
+        warmup_step, init, (jnp.arange(num_steps), keys)
     )
-    step_size = jnp.exp(log_eps_bar)
     var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
+    return carry, jnp.exp(log_eps_bar), var, w_cnt
+
+
+def dual_averaging_warmup(
+    step_fn: Callable,
+    carry0: tuple,
+    get_positions: Callable[[tuple], Array],
+    num_warmup: int,
+    dim: int,
+    dtype,
+    key: jax.Array,
+    init_step_size: float = 0.1,
+    pool_mean=None,
+    pool_sum=None,
+) -> WarmupResult:
+    """Two-phase warmup; ``step_fn(carry, eps, inv_mass, key) ->
+    (carry, alpha)`` advances all local chains once and returns per-chain
+    acceptance statistics; ``get_positions(carry)`` exposes the
+    (chains, dim) states for mass estimation.
+
+    Phase 1 (~3/4): dual-average eps under identity mass, collect the
+    pooled Welford variance over its second half. Phase 2 (~1/4):
+    RE-tune eps under the adapted diagonal mass — without this re-tuning,
+    a mass far from identity would multiply the effective step size and
+    collapse post-warmup acceptance (Stan's windowed scheme re-tunes for
+    the same reason)."""
+    pool_mean = pool_mean or (lambda v: v)
+    pool_sum = pool_sum or (lambda v: v)
+    k1, k2 = jax.random.split(key)
+
+    n1 = max(1, (3 * num_warmup) // 4)
+    n2 = max(1, num_warmup - n1)
+    inv_mass_init = jnp.ones((dim,), dtype)
+    carry, eps1, var, w_cnt = _da_phase(
+        step_fn, carry0, get_positions, n1, inv_mass_init, dim, dtype, k1,
+        init_step_size, pool_mean, pool_sum, welford_from=n1 // 2,
+    )
     inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
-    return WarmupResult(carry=carry, step_size=step_size, inv_mass=inv_mass)
+
+    # phase-2 dual averaging restarts anchored at phase-1's adapted eps
+    carry, eps2, _, _ = _da_phase(
+        step_fn, carry, get_positions, n2, inv_mass, dim, dtype, k2,
+        eps1, pool_mean, pool_sum, welford_from=n2 + 1,
+    )
+    return WarmupResult(carry=carry, step_size=eps2, inv_mass=inv_mass)

@@ -62,7 +62,10 @@ def ess(samples: Array, max_lag: int = 100) -> Array:
     pos = jnp.cumprod(pair > 0, axis=0).astype(rho.dtype)
     tau = 2.0 * jnp.sum(pair * pos, axis=0) - 1.0
     tau = jnp.maximum(tau, 1e-3)
-    return s * c / tau
+    # antithetic chains can legitimately exceed s*c, but a degenerate tau
+    # must not report millions of effective draws — cap like Stan
+    cap_val = s * c * jnp.log10(jnp.maximum(float(s * c), 10.0))
+    return jnp.minimum(s * c / tau, cap_val)
 
 
 def summary(samples: Array) -> dict:

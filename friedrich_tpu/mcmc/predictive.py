@@ -10,7 +10,10 @@ Mixture moments:  mean = E_s[m_s],  var = E_s[v_s + m_s^2] - mean^2.
 
 Each draw rebuilds the covariance factor at its hyperparameters — one
 n^3/3 factorization per draw, vmapped so XLA batches the factorizations
-across draws (MXU-friendly at small/medium n; thin the chain accordingly).
+across draws. Parameter reconstruction uses the same fixed sign vector as
+the sampling target (negative kernel parameters stay negative), and draws
+whose factorization fails numerically are excluded from the mixture
+instead of poisoning it with NaN.
 """
 
 from __future__ import annotations
@@ -25,9 +28,23 @@ from ..ops.covariance import (
     kernel_diag,
     train_covariance_padded,
 )
+from .logprob import initial_signs
 from jax.scipy.linalg import cho_solve, solve_triangular
 
 Array = jnp.ndarray
+
+
+def _rebuild(state: GPState, theta: Array, signs: Array):
+    """(kernel, noise, L, ok) at a posterior draw (signed log-magnitudes)."""
+    nb = state.kernel.nb_params
+    raw = signs * jnp.exp(theta)
+    kernel = state.kernel.with_params(raw[:nb])
+    noise = jnp.abs(raw[nb])
+    k_pad = train_covariance_padded(
+        kernel, state.x, state.n, noise, method=state.method
+    )
+    l_pad, ok = cholesky(k_pad)
+    return kernel, noise, l_pad, ok
 
 
 def predictive_mixture(
@@ -38,11 +55,12 @@ def predictive_mixture(
 ) -> tuple[Array, Array]:
     """(mean, variance) of the hyperparameter-marginalized predictive.
 
-    ``theta_samples``: draws of log([kernel params..., noise]) as returned
+    ``theta_samples``: draws of log-magnitude hyperparameters as returned
     by :func:`sample_hyperparameters` — any shape (..., dim); flattened and
-    thinned evenly to at most ``max_draws``.
+    thinned evenly to at most ``max_draws``. Non-PSD draws are dropped from
+    the average.
     """
-    nb = state.kernel.nb_params
+    signs = initial_signs(state)
     flat = theta_samples.reshape(-1, theta_samples.shape[-1])
     s = flat.shape[0]
     take = min(max_draws, s)
@@ -50,13 +68,7 @@ def predictive_mixture(
     thetas = flat[idx]
 
     def one_draw(theta):
-        raw = jnp.exp(theta)
-        kernel = state.kernel.with_params(raw[:nb])
-        noise = raw[nb]
-        k_pad = train_covariance_padded(
-            kernel, state.x, state.n, noise, method=state.method
-        )
-        l_pad, _ = cholesky(k_pad)
+        kernel, _, l_pad, ok = _rebuild(state, theta, signs)
         c = cross_covariance_train_padded(
             kernel, state.x, state.n, xq, method=state.method
         )
@@ -64,12 +76,16 @@ def predictive_mixture(
         w = solve_triangular(l_pad, kl, lower=True, trans=1)
         mean = state.prior.mean(xq) + w.T @ state.resid
         var = kernel_diag(kernel, xq) - jnp.sum(kl * kl, axis=0)
-        return mean, var
+        ok = ok & jnp.all(jnp.isfinite(mean)) & jnp.all(jnp.isfinite(var))
+        zero = jnp.zeros_like(mean)
+        return jnp.where(ok, mean, zero), jnp.where(ok, var, zero), ok
 
-    means, variances = jax.vmap(one_draw)(thetas)  # (S, m) each
-    mix_mean = jnp.mean(means, axis=0)
-    mix_var = jnp.mean(variances + means**2, axis=0) - mix_mean**2
-    return mix_mean, mix_var
+    means, variances, oks = jax.vmap(one_draw)(thetas)  # (S, m), (S,)
+    weight = oks.astype(means.dtype)
+    total = jnp.maximum(jnp.sum(weight), 1.0)
+    mix_mean = jnp.einsum("s,sm->m", weight, means) / total
+    second = jnp.einsum("s,sm->m", weight, variances + means**2) / total
+    return mix_mean, second - mix_mean**2
 
 
 def sample_predictive(
@@ -81,8 +97,8 @@ def sample_predictive(
 ) -> Array:
     """Draw from the marginalized predictive: pick a random theta per draw,
     then sample the corresponding posterior GP at ``xq``. Shape
-    (num_draws, m)."""
-    nb = state.kernel.nb_params
+    (num_draws, m). Non-PSD draws fall back to the posterior mean."""
+    signs = initial_signs(state)
     flat = theta_samples.reshape(-1, theta_samples.shape[-1])
     key_idx, key_norm = jax.random.split(key)
     idx = jax.random.randint(key_idx, (num_draws,), 0, flat.shape[0])
@@ -90,13 +106,7 @@ def sample_predictive(
     zs = jax.random.normal(key_norm, (num_draws, xq.shape[0]), state.x.dtype)
 
     def one(theta, z):
-        raw = jnp.exp(theta)
-        kernel = state.kernel.with_params(raw[:nb])
-        noise = raw[nb]
-        k_pad = train_covariance_padded(
-            kernel, state.x, state.n, noise, method=state.method
-        )
-        l_pad, _ = cholesky(k_pad)
+        kernel, _, l_pad, ok = _rebuild(state, theta, signs)
         c = cross_covariance_train_padded(
             kernel, state.x, state.n, xq, method=state.method
         )
@@ -110,6 +120,8 @@ def sample_predictive(
         l_cov = jnp.linalg.cholesky(
             cov + 1e-10 * jnp.eye(cov.shape[0], dtype=cov.dtype)
         )
-        return mean + l_cov @ z
+        draw = mean + l_cov @ z
+        ok = ok & jnp.all(jnp.isfinite(draw))
+        return jnp.where(ok, draw, jnp.where(jnp.isfinite(mean), mean, 0.0))
 
     return jax.vmap(one)(thetas, zs)

@@ -140,6 +140,13 @@ def make_state(
     """
     n, _ = x.shape
     cap = cap or n
+    if cap < n:
+        from ..utils.errors import ConfigError
+
+        raise ConfigError(
+            f"capacity {cap} is smaller than the number of training "
+            f"samples {n}"
+        )
     resid = y - prior.mean(x)
     x_pad, r_pad = pad_capacity(x, resid, cap)
     n_arr = jnp.asarray(n, dtype=jnp.int32)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..mcmc.logprob import initial_signs, make_hyperparam_logprob
+from ..mcmc.logprob import initial_signs, initial_theta, make_hyperparam_logprob
 from ..utils.errors import CholeskyError
 from .gp import GPState, rebuild_cholesky
 
@@ -46,14 +46,7 @@ def fit_map(
         prior_sigma=prior_sigma if prior_sigma is not None else 1e6,
         signs=signs,
     )
-    theta = jnp.log(
-        jnp.abs(
-            jnp.concatenate(
-                [state.kernel.get_params(), jnp.asarray(state.noise)[None]]
-            )
-        )
-        + 1e-12
-    )
+    theta = initial_theta(state)
     opt = optax.adam(learning_rate)
     opt_state = opt.init(theta)
 
