@@ -161,7 +161,37 @@ class LargeScaleGP:
         self.l_sharded = new_l
         self.n += k
 
+    def sample_at(self, xq: Array):
+        """Posterior sampler at ``xq`` (m x m covariance is dense — m stays
+        modest even when n is huge). Mirrors ``mod.rs:371-392``."""
+        from ..models.multivariate_normal import MultivariateNormal
+        from ..ops.covariance import cross_covariance
+
+        c = self._cross(xq)
+        w = distributed_cho_solve(self.mesh, self.l_sharded, c, self.block)
+        kqq = cross_covariance(self.kernel, xq, xq, method=self.method)
+        cov = kqq - c.T @ w
+        mean = self.prior.mean(xq) + w.T @ self.resid
+        return MultivariateNormal(mean, cov)
+
     # -- scores --------------------------------------------------------------
+
+    def likelihood(self) -> float:
+        """The reference's approximate likelihood (``mod.rs:196-220``),
+        replicated at scale: complexity term sums ``ln|k(x_i,x_i)+noise^2|``
+        over live points."""
+        ol = distributed_solve_lower(
+            self.mesh, self.l_sharded, self.resid[:, None], self.block
+        )[:, 0]
+        data_fit = float(jnp.sum(ol * ol))
+        diag = kernel_diag(self.kernel, self.x) + self.noise * self.noise
+        live = jnp.arange(self.x.shape[0]) < self.n
+        complexity = float(
+            jnp.sum(jnp.where(live, jnp.log(jnp.abs(diag)), 0.0))
+        )
+        return -(
+            data_fit + complexity + self.n * float(np.log(2 * np.pi))
+        ) / 2.0
 
     def log_marginal_likelihood(self) -> float:
         ol = distributed_solve_lower(

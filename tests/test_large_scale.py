@@ -143,3 +143,24 @@ def test_large_scale_generic_fit_tracks_exact_reference_path():
     )
     np.testing.assert_allclose(float(big.noise), ref.noise, rtol=0.1)
     assert np.isfinite(big.log_marginal_likelihood())
+
+
+def test_large_scale_likelihood_and_sampler_match_reference_engine():
+    x, y = _data(n=120)
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.2), fp.ConstantPrior(c=0.1),
+        0.25, x, y, block=16,
+    )
+    ref = ft.GaussianProcess.new(
+        fp.ConstantPrior(c=0.1), fk.SquaredExp(ls=1.0, ampl=1.2), 0.25, None, x, y
+    )
+    np.testing.assert_allclose(big.likelihood(), ref.likelihood(), rtol=1e-9)
+    xq = jnp.asarray(RNG.normal(size=(4, 2)))
+    s_big = big.sample_at(xq)
+    s_ref = ref.sample_at(xq)
+    np.testing.assert_allclose(
+        np.asarray(s_big.mean()), np.asarray(s_ref.mean()), rtol=1e-9, atol=1e-11
+    )
+    draw = s_big.sample(jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(draw)))
