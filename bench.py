@@ -4,9 +4,11 @@ Cholesky wall-clock on one chip, float32.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` is the north-star budget ratio: BASELINE.json targets exact
-GP fit+predict at n=100k in < 60 s on a pod slice; the single-chip headline
-op here is the n=50k covariance build + factorization, so we report
-60 / measured_seconds (higher is better; >1 means inside budget).
+GP fit+predict at n=100k in < 60 s on a pod slice. The budget is scaled
+cubically to the measured size (Cholesky FLOPs ~ n^3):
+``vs_baseline = 60 * (n / 100_000)^3 / measured_seconds`` — higher is
+better; >1 means inside the size-adjusted budget (this stays honest when
+the benchmark falls back to a smaller n).
 
 The reference publishes no numbers (BASELINE.md), so there is no reference
 wall-clock to normalize against; its asymptotic cost for this op is
@@ -88,13 +90,14 @@ def main() -> None:
         print(f"n=50k failed ({type(e).__name__}); falling back", file=sys.stderr)
         n = 32_768
         secs = bench_once(n)
+    budget = 60.0 * (n / 100_000) ** 3
     print(
         json.dumps(
             {
                 "metric": f"n={n} kernel-build+Cholesky wall-clock (1 chip, f32)",
                 "value": round(secs, 4),
                 "unit": "s",
-                "vs_baseline": round(60.0 / secs, 2),
+                "vs_baseline": round(budget / secs, 2),
             }
         )
     )

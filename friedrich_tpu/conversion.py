@@ -61,11 +61,18 @@ def as_input_matrix(x: Any, dtype=None) -> tuple[Array, OutputAdapter]:
     if isinstance(x, (list, tuple)):
         if len(x) == 0:
             raise ShapeError("empty input")
-        if isinstance(x[0], (list, tuple, np.ndarray)):
+        if isinstance(x[0], (list, tuple, np.ndarray, jnp.ndarray)):
             mat = jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+            if mat.ndim != 2:
+                raise ShapeError(
+                    f"nested input must be a list of 1-D rows, got overall "
+                    f"shape {mat.shape}"
+                )
             return mat, OutputAdapter("list")
         # flat list of floats = a single sample (reference Vec<f64> impl)
         mat = jnp.asarray(np.asarray(x, dtype=np.float64)[None, :], dtype=dtype)
+        if mat.ndim != 2:
+            raise ShapeError(f"flat input must be 1-D, got shape {mat.shape[1:]}")
         return mat, OutputAdapter("scalar")
     if isinstance(x, np.ndarray):
         if x.ndim == 1:

@@ -99,11 +99,22 @@ def _composite_spec(kernel):
     return 0, kid, p, 0, np.zeros(1)
 
 
+def _check_2d(name, a):
+    if a.ndim != 2:
+        raise ConfigError(f"{name} must be 2-D, got shape {a.shape}")
+
+
 def cov_matrix(kernel, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
     lib = load()
     op, kid1, p1, kid2, p2 = _composite_spec(kernel)
     x1 = np.ascontiguousarray(x1, dtype=np.float64)
     x2 = np.ascontiguousarray(x2, dtype=np.float64)
+    _check_2d("x1", x1)
+    _check_2d("x2", x2)
+    if x1.shape[1] != x2.shape[1]:
+        raise ConfigError(
+            f"feature-dim mismatch: x1 has {x1.shape[1]}, x2 has {x2.shape[1]}"
+        )
     out = np.empty((x1.shape[0], x2.shape[0]), dtype=np.float64)
     if op == 0:
         lib.cov_matrix(kid1, p1, x1, x1.shape[0], x2, x2.shape[0], x1.shape[1], out)
@@ -117,6 +128,7 @@ def train_cov(kernel, x: np.ndarray, noise: float) -> np.ndarray:
     lib = load()
     op, kid1, p1, kid2, p2 = _composite_spec(kernel)
     x = np.ascontiguousarray(x, dtype=np.float64)
+    _check_2d("x", x)
     out = np.empty((x.shape[0], x.shape[0]), dtype=np.float64)
     if op == 0:
         lib.train_cov(kid1, p1, x, x.shape[0], x.shape[1], float(noise), out)
@@ -130,6 +142,8 @@ def cholesky(a: np.ndarray, eps: Optional[float] = None) -> np.ndarray:
     """In-place-style lower Cholesky with nalgebra substitute semantics."""
     lib = load()
     a = np.array(a, dtype=np.float64, order="C")  # copy; factored in place
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ConfigError(f"cholesky needs a square matrix, got {a.shape}")
     rc = lib.cholesky_factor(
         a, a.shape[0], float(eps or 0.0), 1 if eps is not None else 0
     )
@@ -145,10 +159,30 @@ def solve_lower(l_mat: np.ndarray, b: np.ndarray, trans: bool = False) -> np.nda
     flat = b2.ndim == 1
     if flat:
         b2 = b2[:, None]
+    if l_mat.ndim != 2 or l_mat.shape[0] != l_mat.shape[1]:
+        raise ConfigError(f"L must be square, got {l_mat.shape}")
+    if b2.shape[0] != l_mat.shape[0]:
+        raise ConfigError(
+            f"rhs rows {b2.shape[0]} != L size {l_mat.shape[0]}"
+        )
     (lib.solve_lower_t if trans else lib.solve_lower)(
         l_mat, b2, b2.shape[0], b2.shape[1]
     )
     return b2[:, 0] if flat else b2
+
+
+def _prior_mean_np(prior, x: np.ndarray) -> np.ndarray:
+    """Evaluate a prior's mean in pure NumPy f64 (the jnp implementations
+    would truncate to f32 without jax_enable_x64, breaking the oracle)."""
+    name = type(prior).__name__
+    if name == "ZeroPrior":
+        return np.zeros(x.shape[0])
+    if name == "ConstantPrior":
+        return np.full(x.shape[0], float(prior.c))
+    if name == "LinearPrior":
+        w = np.asarray(prior.weights, dtype=np.float64)
+        return x @ w + float(prior.intercept)
+    raise ConfigError(f"native backend does not support prior {name!r}")
 
 
 class NativeGP:
@@ -165,7 +199,8 @@ class NativeGP:
         self.prior = prior
         self.noise = float(noise)
         self.x = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
-        prior_mean = np.asarray(prior.mean(self.x), dtype=np.float64)
+        _check_2d("x", self.x)
+        prior_mean = _prior_mean_np(prior, self.x)
         self.resid = np.ascontiguousarray(
             np.asarray(y, dtype=np.float64) - prior_mean
         )
@@ -174,8 +209,13 @@ class NativeGP:
 
     def predict_mean_variance(self, xq) -> tuple[np.ndarray, np.ndarray]:
         xq = np.ascontiguousarray(np.asarray(xq, dtype=np.float64))
+        _check_2d("xq", xq)
         op, kid, p, _, _ = _composite_spec(self.kernel)
         n, d = self.x.shape
+        if xq.shape[1] != d:
+            raise ConfigError(
+                f"query dim {xq.shape[1]} != training dim {d}"
+            )
         m = xq.shape[0]
         if op == 0:
             # fused single-kernel C path
@@ -191,11 +231,19 @@ class NativeGP:
             # composed path for Sum/Prod kernels
             c = cov_matrix(self.kernel, self.x, xq)
             kl = solve_lower(self.l_mat, c)
-            base = np.diagonal(cov_matrix(self.kernel, xq, xq)).copy()
+            # diagonal k(q, q) per row — O(m), not an (m, m) matrix
+            base = np.array(
+                [cov_matrix(self.kernel, q[None, :], q[None, :])[0, 0]
+                 for q in xq]
+            ) if m <= 512 else np.concatenate([
+                np.diagonal(cov_matrix(self.kernel, xq[i : i + 512],
+                                       xq[i : i + 512])).copy()
+                for i in range(0, m, 512)
+            ])
             var = base - np.sum(kl * kl, axis=0)
             w = solve_lower(self.l_mat, kl, trans=True)
             mean = w.T @ self.resid
-        mean += np.asarray(self.prior.mean(xq), dtype=np.float64)
+        mean += _prior_mean_np(self.prior, xq)
         return mean, var
 
     def predict(self, xq) -> np.ndarray:

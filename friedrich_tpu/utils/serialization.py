@@ -85,6 +85,10 @@ def save_gp(gp, path: str) -> None:
         "n": int(state.n),
         "dtype": str(state.x.dtype),
     }
+    # np.savez appends .npz when missing but np.load does not — normalize
+    # here so save/load round-trips for extensionless paths
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     np.savez(
         path,
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
@@ -99,6 +103,8 @@ def load_gp(path: str):
     from ..models.api import GaussianProcess
     from ..models.gp import GPState
 
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     with np.load(path) as data:
         header = json.loads(bytes(data["header"]).decode())
         dtype = jnp.dtype(header["dtype"])
