@@ -83,13 +83,21 @@ def bench_once(n: int, d: int = 8, repeats: int = 3) -> float:
 
 
 def main() -> None:
-    n = 50_000
-    try:
-        secs = bench_once(n)
-    except Exception as e:  # noqa: BLE001 — fall back to a size that fits
-        print(f"n=50k failed ({type(e).__name__}); falling back", file=sys.stderr)
-        n = 32_768
-        secs = bench_once(n)
+    # the remote TPU compile helper fails intermittently (HTTP 500) on big
+    # loop programs — retry the headline size once before downsizing
+    secs = None
+    for attempt, n in ((1, 50_000), (2, 50_000), (3, 32_768)):
+        try:
+            secs = bench_once(n)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"attempt {attempt} (n={n}) failed ({type(e).__name__}); "
+                f"retrying",
+                file=sys.stderr,
+            )
+    if secs is None:
+        raise SystemExit("benchmark failed at every size")
     budget = 60.0 * (n / 100_000) ** 3
     print(
         json.dumps(

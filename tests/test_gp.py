@@ -208,3 +208,15 @@ def test_direct_distance_method_end_to_end():
     np.testing.assert_allclose(
         np.asarray(gp.predict(xq)), ogp.predict(xq), rtol=1e-6, atol=1e-8
     )
+
+
+def test_auto_backend_through_builder():
+    x = RNG.normal(size=(40, 2))
+    y = RNG.normal(size=40)
+    gp_a = ft.GaussianProcess.builder(x, y).set_backend("auto").set_noise(0.2).train()
+    gp_d = ft.GaussianProcess.builder(x, y).set_noise(0.2).train()
+    xq = RNG.normal(size=(4, 2))
+    np.testing.assert_allclose(
+        np.asarray(gp_a.predict(xq)), np.asarray(gp_d.predict(xq)),
+        rtol=1e-10,
+    )
