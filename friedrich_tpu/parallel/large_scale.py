@@ -161,6 +161,27 @@ class LargeScaleGP:
         self.l_sharded = new_l
         self.n += k
 
+    def predict_in_batches(
+        self, xq: Array, batch_size: int = 8192
+    ) -> tuple[Array, Array]:
+        """(mean, variance) for very large query sets in fixed chunks — the
+        bulk-scoring path at scale (mirrors the single-device API)."""
+        m = xq.shape[0]
+        means, variances = [], []
+        for lo in range(0, m, batch_size):
+            chunk = xq[lo : lo + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad and m > batch_size:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, xq.shape[1]), xq.dtype)]
+                )
+            mean, var = self.predict_mean_variance(chunk)
+            if pad and m > batch_size:
+                mean, var = mean[:-pad], var[:-pad]
+            means.append(mean)
+            variances.append(var)
+        return jnp.concatenate(means), jnp.concatenate(variances)
+
     def sample_at(self, xq: Array):
         """Posterior sampler at ``xq`` (m x m covariance is dense — m stays
         modest even when n is huge). Mirrors ``mod.rs:371-392``."""

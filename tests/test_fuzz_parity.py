@@ -25,7 +25,12 @@ def _rand_kernel(rng):
                  lambda k: orc.ORationalQuadratic(float(k.alpha), float(k.ls))),
     ]
     kern, mk = choices[rng.integers(len(choices))]()
-    return kern, mk(kern)
+    okern = mk(kern)
+    if rng.random() < 0.25:  # occasionally compose with a Linear term
+        c = float(rng.uniform(0.1, 1.0))
+        kern = kern + fk.Linear(c=c)
+        okern = orc.OKernelSum(okern, orc.OLinear(c))
+    return kern, okern
 
 
 def _rand_prior(rng, d):
@@ -40,7 +45,7 @@ def _rand_prior(rng, d):
     return fp.LinearPrior(weights=w, intercept=b), orc.OLinearPrior(w, b)
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(20))
 def test_random_config_parity(seed):
     rng = np.random.default_rng(1000 + seed)
     n = int(rng.integers(3, 16))

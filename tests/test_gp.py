@@ -220,3 +220,12 @@ def test_auto_backend_through_builder():
         np.asarray(gp_a.predict(xq)), np.asarray(gp_d.predict(xq)),
         rtol=1e-10,
     )
+
+
+def test_undersized_capacity_raises_config_error():
+    x = RNG.normal(size=(10, 1))
+    y = RNG.normal(size=10)
+    with pytest.raises(ft.ConfigError):
+        ft.GaussianProcess.new(
+            fp.ZeroPrior(), fk.SquaredExp(), 0.2, None, x, y, capacity=5
+        )

@@ -164,3 +164,17 @@ def test_large_scale_likelihood_and_sampler_match_reference_engine():
     )
     draw = s_big.sample(jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(draw)))
+
+
+def test_large_scale_predict_in_batches():
+    x, y = _data(n=120)
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.2), fp.ZeroPrior(), 0.25, x, y,
+        block=16,
+    )
+    xq = jnp.asarray(RNG.normal(size=(37, 2)))
+    mb, vb = big.predict_in_batches(xq, batch_size=16)
+    m, v = big.predict_mean_variance(xq)
+    np.testing.assert_array_equal(np.asarray(mb), np.asarray(m))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(v))
