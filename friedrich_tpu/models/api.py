@@ -246,8 +246,11 @@ class GaussianProcess:
         max_iter: int = DEFAULT_MAX_ITER,
         convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
         max_time: float = DEFAULT_MAX_TIME,
+        fit_log=None,
     ) -> None:
-        """Refit prior/kernel/noise (``mod.rs:406-445``)."""
+        """Refit prior/kernel/noise (``mod.rs:406-445``). Pass a
+        :class:`~friedrich_tpu.utils.fitlog.FitLog` for structured
+        per-iteration records."""
         self._state = _fit_parameters(
             self._state,
             fit_prior=fit_prior,
@@ -255,6 +258,7 @@ class GaussianProcess:
             max_iter=max_iter,
             convergence_fraction=convergence_fraction,
             max_time=max_time,
+            fit_log=fit_log,
         )
 
     def set_hyperparameters(self, kernel=None, noise: Optional[float] = None,

@@ -211,6 +211,7 @@ def fit_parameters(
     max_iter: int = DEFAULT_MAX_ITER,
     convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
     max_time: float = DEFAULT_MAX_TIME,
+    fit_log=None,
 ) -> GPState:
     """Full fit dispatch, mirroring ``fit_parameters`` (``mod.rs:406-445``):
     optionally refit the prior (rebuilding the factor if the kernel is not
@@ -222,7 +223,9 @@ def fit_parameters(
             if not bool(ok):
                 raise CholeskyError()
     if fit_kernel:
-        state = fit_kernel_noise(state, max_iter, convergence_fraction, max_time)
+        state = fit_kernel_noise(
+            state, max_iter, convergence_fraction, max_time, fit_log=fit_log
+        )
     return state
 
 
