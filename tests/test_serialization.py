@@ -53,3 +53,21 @@ def test_loaded_model_supports_further_training(tmp_path):
     assert loaded.num_samples == 5
     loaded.fit_parameters(True, True, max_iter=3)
     assert np.isfinite(loaded.likelihood())
+
+
+@pytest.mark.parametrize("backend", ["streamed", "tiled", "hybrid"])
+def test_backend_round_trips(tmp_path, backend):
+    x = RNG.normal(size=(16, 2))
+    y = RNG.normal(size=16)
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=0.8, ampl=1.1), 0.2, None, x, y,
+        backend=backend,
+    )
+    path = str(tmp_path / "m.npz")
+    gp.save(path)
+    loaded = ft.GaussianProcess.load(path)
+    assert loaded.state.backend == backend
+    xq = RNG.normal(size=(3, 2))
+    np.testing.assert_array_equal(
+        np.asarray(gp.predict(xq)), np.asarray(loaded.predict(xq))
+    )
