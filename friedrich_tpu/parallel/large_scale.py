@@ -122,11 +122,30 @@ class LargeScaleGP:
 
     # -- incremental update -------------------------------------------------
 
-    def add_samples(self, x_new: Array, y_new: Array) -> None:
+    def grow(self, new_capacity: int) -> None:
+        """Re-shard to a larger capacity and REBUILD the factor (O(n^3) —
+        growth at scale cannot reuse the old sharding; reserve capacity up
+        front when possible)."""
+        cap = self.x.shape[0]
+        if new_capacity <= cap:
+            return
+        if new_capacity % self.mesh.size:
+            new_capacity = (
+                new_capacity // self.mesh.size + 1
+            ) * self.mesh.size
+        d = self.x.shape[1]
+        self.x = jnp.zeros((new_capacity, d), self.x.dtype).at[:cap].set(self.x)
+        self.resid = (
+            jnp.zeros((new_capacity,), self.resid.dtype).at[:cap].set(self.resid)
+        )
+        self._factor()
+
+    def add_samples(self, x_new: Array, y_new: Array, auto_grow: bool = False) -> None:
         """O(n^2 k) distributed rank-k append (``add_samples`` at scale).
 
-        Requires pre-reserved capacity (``capacity=`` at construction);
-        growth at this scale means re-sharding, which is a rebuild.
+        Requires pre-reserved capacity (``capacity=`` at construction); with
+        ``auto_grow=True`` an overflow triggers a 1.5x re-sharded REBUILD
+        (O(n^3)) instead of raising.
         """
         from .distributed_append import distributed_cholesky_append
 
@@ -135,10 +154,14 @@ class LargeScaleGP:
         k = x_new.shape[0]
         cap = self.x.shape[0]
         if self.n + k > cap:
-            raise ValueError(
-                f"capacity {cap} exceeded ({self.n}+{k}); construct with a "
-                f"larger `capacity` (re-sharded growth requires a rebuild)"
-            )
+            if not auto_grow:
+                raise ValueError(
+                    f"capacity {cap} exceeded ({self.n}+{k}); construct with "
+                    f"a larger `capacity`, call grow(), or pass "
+                    f"auto_grow=True (re-sharded growth rebuilds in O(n^3))"
+                )
+            self.grow(max(self.n + k, int(cap * 1.5)))
+            cap = self.x.shape[0]
         self.x = self.x.at[self.n : self.n + k].set(x_new)
         self.resid = self.resid.at[self.n : self.n + k].set(
             y_new - self.prior.mean(x_new)

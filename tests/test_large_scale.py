@@ -179,3 +179,27 @@ def test_large_scale_predict_in_batches():
     # different chunk widths change GEMM reduction order -> fp tolerance
     np.testing.assert_allclose(np.asarray(mb), np.asarray(m), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(vb), np.asarray(v), rtol=1e-10, atol=1e-13)
+
+
+def test_large_scale_auto_grow_append():
+    x, y = _data(n=64)
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.0), fp.ZeroPrior(), 0.3, x, y,
+        block=16,  # capacity == n: any append overflows
+    )
+    xn = jnp.asarray(RNG.normal(size=(8, 2)))
+    yn = jnp.asarray(RNG.normal(size=(8,)))
+    with pytest.raises(ValueError):
+        big.add_samples(xn, yn)
+    big.add_samples(xn, yn, auto_grow=True)  # 1.5x re-sharded rebuild
+    assert big.n == 72
+    ref = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.3, None,
+        jnp.concatenate([x, xn]), jnp.concatenate([y, yn]),
+    )
+    xq = jnp.asarray(RNG.normal(size=(4, 2)))
+    np.testing.assert_allclose(
+        np.asarray(big.predict(xq)), np.asarray(ref.predict(xq)),
+        rtol=1e-9, atol=1e-11,
+    )
