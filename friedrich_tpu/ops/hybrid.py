@@ -42,21 +42,27 @@ Array = jnp.ndarray
 
 
 @functools.partial(
-    jax.jit, static_argnames=("treedef", "eps", "block", "method", "levels")
+    jax.jit,
+    static_argnames=("treedef", "eps", "block", "method", "levels", "h"),
 )
 def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
-                 levels=1):
+                 levels=1, h=None):
     """Memory-disciplined layout: ONE (cap, cap) carry holds the factor;
     K21/K22 are built strip-by-strip from the inputs and consumed
-    immediately, so peak HBM = L + one strip + the h x h downdated block
-    (~L * 1.25) — n=50k f32 fits a 16 GB chip."""
+    immediately, so peak HBM = L + one strip + the downdated block
+    (~L * 1.25) — n=50k f32 fits a 16 GB chip.
+
+    ``h`` is the static split point (first-block rows; default cap/2); both
+    ``h`` and ``cap - h`` must be multiples of ``block``."""
     from jax.scipy.linalg import solve_triangular
 
     from .covariance import cross_covariance
 
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
     cap, d = x_pad.shape
-    h = cap // 2
+    if h is None:
+        h = cap // 2
+    h2 = cap - h
     dtype = x_pad.dtype
 
     x1 = x_pad[:h]
@@ -83,7 +89,7 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
     # K21 strip from the inputs, forward-sweep it against L11 (read back in
     # small slices from l_full — L11 is never held separately), write into L.
     cols1 = jnp.arange(h)[None, :]
-    num_panels2 = h // block
+    num_panels2 = h2 // block
 
     def l21_panel(j, l_full):
         r0 = j * block
@@ -114,13 +120,13 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
     # S22 = K22 (+noise^2 I / identity padding) - L21 L21^T, column strips
     # written DIRECTLY into l_full[h:, h:] (no separate h x h buffer); the
     # downdate contracts small slices of L21 from l_full.
-    rows2 = h + jnp.arange(h)[:, None]
+    rows2 = h + jnp.arange(h2)[:, None]
 
     def s22_panel(j, l_full):
         c0 = j * block
         z = jnp.zeros_like(c0)
         xj = lax.dynamic_slice(x2, (c0, z), (block, d))
-        strip = cross_covariance(kernel, x2, xj, method=method)  # (h, B)
+        strip = cross_covariance(kernel, x2, xj, method=method)  # (h2, B)
         cols = h + c0 + jnp.arange(block)[None, :]
         diag = rows2 == cols
         strip = strip + jnp.where(diag, noise * noise, 0.0)
@@ -129,7 +135,7 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
 
         def downdate(kk, acc):
             k0 = kk * block
-            l_all_k = lax.dynamic_slice(l_full, (h, k0), (h, block))
+            l_all_k = lax.dynamic_slice(l_full, (h, k0), (h2, block))
             l_cols_k = lax.dynamic_slice(l_full, (h + c0, k0), (block, block))
             return acc - jnp.dot(
                 l_all_k, l_cols_k.T, preferred_element_type=dtype
@@ -150,7 +156,7 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
     # the region strips store the lower half only).
     from .tiled import region_cholesky_inplace
 
-    l_full = region_cholesky_inplace(l_full, h, h // block, block, eps, True)
+    l_full = region_cholesky_inplace(l_full, h, h2 // block, block, eps, True)
 
     diag_v = jnp.diagonal(l_full)
     ok2 = jnp.all(jnp.isfinite(diag_v))
@@ -166,22 +172,24 @@ def hybrid_cholesky_factor(
     block: int = 2048,
     method: str = "gram",
     levels: int = 1,
+    split: float = 0.5,
 ) -> tuple[Array, Array]:
-    """Fused covariance build + half-split hybrid factorization.
+    """Fused covariance build + split hybrid factorization.
 
-    Requires even capacity with both halves divisible by a usable panel
-    size (handled by block shrinking, like the other factorizers).
-    ``levels > 1`` recursively hybrid-splits the leading half too.
+    ``split`` sets the streamed-leaf fraction (default half; both blocks
+    must be divisible by the panel size — the split point is rounded to a
+    block boundary). ``levels > 1`` recursively hybrid-splits the leading
+    block too.
     """
     cap = x_pad.shape[0]
     if cap % 2:
         raise ValueError("hybrid factorization needs even capacity")
     from .partition import pick_block
 
-    h = cap // 2
-    b = pick_block(h, block)
+    b = pick_block(cap // 2, block)
+    h = max(b, min(cap - b, int(round(cap * split / b)) * b))
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     return _hybrid_impl(
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
-        jnp.asarray(noise, x_pad.dtype), eps, b, method, levels,
+        jnp.asarray(noise, x_pad.dtype), eps, b, method, levels, h,
     )

@@ -165,3 +165,15 @@ def test_hybrid_recursive_levels(levels, cap, n):
     got, ok = hybrid_cholesky_factor(kern, x, n, 0.3, block=16, levels=levels)
     assert bool(ok)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("split", [0.33, 0.66])
+def test_hybrid_uneven_split(split):
+    from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
+
+    kern = fk.SquaredExp(ls=0.9, ampl=1.4)
+    x, n = _problem()
+    want, _ = factor(train_covariance_padded(kern, x, n, 0.3))
+    got, ok = hybrid_cholesky_factor(kern, x, n, 0.3, block=16, split=split)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-12)
