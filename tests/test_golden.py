@@ -4,8 +4,14 @@
 These numbers were produced by the fully-parity-tested round-1 engine
 (every constituent — heuristics, scaled ADAM trajectory, predict paths,
 likelihood — is independently pinned to the reference formulas via the
-direct-loop oracle in this suite). Tolerances are loose enough to survive
-benign reduction-order changes but catch formula/logic regressions.
+direct-loop oracle in this suite). Since round 2 the *standard* math those
+trajectories are built from is additionally grounded against third-party
+implementations: scikit-learn for kernel matrices / posteriors / exact LML
+(``test_sklearn_crosscheck.py``) and central finite differences for every
+true-derivative kernel gradient (``test_gradcheck.py``), so these goldens
+rest on more than this repo's own transcriptions. Tolerances are loose
+enough to survive benign reduction-order changes but catch formula/logic
+regressions.
 """
 
 import numpy as np
