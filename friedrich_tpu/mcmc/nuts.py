@@ -70,6 +70,7 @@ def _make_transition(logp: Callable, max_depth: int):
         return -logp_v + 0.5 * jnp.sum(r * r * inv_mass)
 
     def transition(rng, z0, logp0, g0, eps, inv_mass):
+      with jax.named_scope("nuts/transition"):
         dim = z0.shape[0]
         dtype = z0.dtype
         r_key, doubling_key = jax.random.split(rng)

@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 from typing import Any, Optional
 
+import jax
+
 import jax.numpy as jnp
 from flax import struct
 from jax import lax
@@ -91,6 +93,13 @@ _AUTO_HYBRID_THRESHOLD = 8192
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
+    with jax.named_scope(f"gp/build_factor[{backend}]"):
+        return _build_factor_impl(
+            kernel, x_pad, n_arr, noise, eps, method, backend
+        )
+
+
+def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend):
     if backend == "auto":
         cap = x_pad.shape[0]
         backend = (
@@ -254,28 +263,31 @@ def _train_cross(state: GPState, xq: Array) -> Array:
 
 def predict_mean(state: GPState, xq: Array) -> Array:
     """Posterior mean: ``prior + K(xq, X) K^-1 resid`` (``mod.rs:226-244``)."""
-    c = _train_cross(state, xq)
-    w = _cho_solve(state, c)
-    return state.prior.mean(xq) + w.T @ state.resid
+    with jax.named_scope("gp/predict_mean"):
+        c = _train_cross(state, xq)
+        w = _cho_solve(state, c)
+        return state.prior.mean(xq) + w.T @ state.resid
 
 
 def predict_variance(state: GPState, xq: Array) -> Array:
     """Latent predictive variance — observation noise NOT added back,
     matching ``mod.rs:248-273`` (see ``:266-269``)."""
-    c = _train_cross(state, xq)
-    kl = _solve_lower(state, c)
-    base = kernel_diag(state.kernel, xq)
-    return base - jnp.sum(kl * kl, axis=0)
+    with jax.named_scope("gp/predict_variance"):
+        c = _train_cross(state, xq)
+        kl = _solve_lower(state, c)
+        base = kernel_diag(state.kernel, xq)
+        return base - jnp.sum(kl * kl, axis=0)
 
 
 def predict_mean_variance(state: GPState, xq: Array) -> tuple[Array, Array]:
     """Shared-weights mean+variance (``mod.rs:290-326``)."""
-    c = _train_cross(state, xq)
-    w = _cho_solve(state, c)
-    mean = state.prior.mean(xq) + w.T @ state.resid
-    base = kernel_diag(state.kernel, xq)
-    var = base - jnp.sum(c * w, axis=0)  # column-dot form of mod.rs:314-319
-    return mean, var
+    with jax.named_scope("gp/predict_mean_variance"):
+        c = _train_cross(state, xq)
+        w = _cho_solve(state, c)
+        mean = state.prior.mean(xq) + w.T @ state.resid
+        base = kernel_diag(state.kernel, xq)
+        var = base - jnp.sum(c * w, axis=0)  # column-dot form of mod.rs:314-319
+        return mean, var
 
 
 def predict_covariance(state: GPState, xq: Array) -> Array:

@@ -97,51 +97,69 @@ def _per_param_grads(state: GPState, cov_inv: Array, alpha: Array) -> tuple[Arra
 @jax.jit
 def _generic_step(state: GPState, adam: AdamState, i, convergence_fraction):
     """One iteration of the non-scalable fit (``optimize_parameters``,
-    ``optimizer.rs:69-149``). Parameter vector = kernel params + ln(noise)."""
-    cov_inv, alpha = _inverse_and_alpha(state)
-    data_fit, complexity = _per_param_grads(state, cov_inv, alpha)
-    grads_kernel = (data_fit - complexity) / 2.0
+    ``optimizer.rs:69-149``). Parameter vector = kernel params + ln(noise).
 
-    # noise gradient (``optimizer.rs:52-57``): gradient(K, noise) = 2 noise I;
-    # the padded identity block inflates trace(K^-1) by (cap - n) — subtract.
-    noise_data_fit = jnp.dot(alpha, alpha)
-    cap = state.capacity
-    noise_complexity = jnp.trace(cov_inv) - (cap - state.n).astype(alpha.dtype)
-    noise_grad = state.noise * (noise_data_fit - noise_complexity)
-    # log-space correction (``optimizer.rs:105-110``)
-    noise_grad = noise_grad * state.noise
+    Returns ``(state, adam, progress, ok, info)`` where ``info`` carries
+    per-iteration observability scalars (``max_delta``; the reference only
+    had commented-out prints here, ``optimizer.rs:145-148``)."""
+    with jax.named_scope("fit/gradients"):
+        cov_inv, alpha = _inverse_and_alpha(state)
+        data_fit, complexity = _per_param_grads(state, cov_inv, alpha)
+        grads_kernel = (data_fit - complexity) / 2.0
 
-    grads = jnp.concatenate([grads_kernel, noise_grad[None]])
-    adam, delta = _adam_delta(adam, grads, i)
-    progress = jnp.any(jnp.abs(delta) > convergence_fraction)
+        # noise gradient (``optimizer.rs:52-57``): gradient(K, noise) =
+        # 2 noise I; the padded identity block inflates trace(K^-1) by
+        # (cap - n) — subtract.
+        noise_data_fit = jnp.dot(alpha, alpha)
+        cap = state.capacity
+        noise_complexity = jnp.trace(cov_inv) - (cap - state.n).astype(alpha.dtype)
+        noise_grad = state.noise * (noise_data_fit - noise_complexity)
+        # log-space correction (``optimizer.rs:105-110``)
+        noise_grad = noise_grad * state.noise
 
-    kernel = state.kernel.with_params(adam.params[:-1])
-    noise = jnp.exp(adam.params[-1])
-    state = state.replace(kernel=kernel, noise=noise)
-    state, ok = rebuild_cholesky(state)
-    return state, adam, progress, ok
+        grads = jnp.concatenate([grads_kernel, noise_grad[None]])
+    with jax.named_scope("fit/adam"):
+        adam, delta = _adam_delta(adam, grads, i)
+        max_delta = jnp.max(jnp.abs(delta))
+        progress = max_delta > convergence_fraction
+
+        kernel = state.kernel.with_params(adam.params[:-1])
+        noise = jnp.exp(adam.params[-1])
+        state = state.replace(kernel=kernel, noise=noise)
+    with jax.named_scope("fit/rebuild"):
+        state, ok = rebuild_cholesky(state)
+    info = {"max_delta": max_delta, "scale": jnp.ones_like(max_delta)}
+    return state, adam, progress, ok, info
 
 
 @jax.jit
 def _scaled_step(state: GPState, adam: AdamState, i, convergence_fraction):
     """One iteration of the scaled fit (``scaled_optimize_parameters``,
-    ``optimizer.rs:211-283``). Parameter vector = kernel params only."""
-    cov_inv, alpha = _inverse_and_alpha(state)
-    scale = jnp.dot(state.resid, alpha) / state.n.astype(alpha.dtype)
-    data_fit, complexity = _per_param_grads(state, cov_inv, alpha)
-    grads = (data_fit / scale - complexity) / 2.0  # optimizer.rs:180-192
+    ``optimizer.rs:211-283``). Parameter vector = kernel params only.
 
-    adam, delta = _adam_delta(adam, grads, i)
-    progress = jnp.any(jnp.abs(delta) > convergence_fraction)
+    Returns ``(state, adam, progress, ok, info)``; ``info`` carries the
+    closed-form ``scale`` (``optimizer.rs:174``) and ``max_delta``."""
+    with jax.named_scope("fit/gradients"):
+        cov_inv, alpha = _inverse_and_alpha(state)
+        scale = jnp.dot(state.resid, alpha) / state.n.astype(alpha.dtype)
+        data_fit, complexity = _per_param_grads(state, cov_inv, alpha)
+        grads = (data_fit / scale - complexity) / 2.0  # optimizer.rs:180-192
 
-    kernel = state.kernel.with_params(adam.params)
-    kernel = kernel.rescale(scale)  # optimizer.rs:262
-    noise = state.noise * scale  # optimizer.rs:263 (noise *= scale, not sqrt)
-    # read parameters back post-rescale (optimizer.rs:264)
-    adam = adam.replace(params=kernel.get_params())
-    state = state.replace(kernel=kernel, noise=noise)
-    state, ok = rebuild_cholesky(state)
-    return state, adam, progress, ok
+    with jax.named_scope("fit/adam"):
+        adam, delta = _adam_delta(adam, grads, i)
+        max_delta = jnp.max(jnp.abs(delta))
+        progress = max_delta > convergence_fraction
+
+        kernel = state.kernel.with_params(adam.params)
+        kernel = kernel.rescale(scale)  # optimizer.rs:262
+        noise = state.noise * scale  # optimizer.rs:263 (noise *= scale, not sqrt)
+        # read parameters back post-rescale (optimizer.rs:264)
+        adam = adam.replace(params=kernel.get_params())
+        state = state.replace(kernel=kernel, noise=noise)
+    with jax.named_scope("fit/rebuild"):
+        state, ok = rebuild_cholesky(state)
+    info = {"max_delta": max_delta, "scale": scale}
+    return state, adam, progress, ok, info
 
 
 def _init_params(vec: Array) -> Array:
@@ -177,17 +195,24 @@ def fit_kernel_noise(
     conv = jnp.asarray(convergence_fraction, dtype=params.dtype)
     t0 = time.monotonic()
     for i in range(1, max_iter + 1):
-        state, adam, progress, ok = step(state, adam, jnp.asarray(i), conv)
+        state, adam, progress, ok, info = step(state, adam, jnp.asarray(i), conv)
         if not bool(ok):
             raise CholeskyError(
                 "Cholesky decomposition failed during hyperparameter fitting; "
                 "consider setting `cholesky_epsilon`."
             )
         if fit_log is not None:
+            from .gp import log_marginal_likelihood
+
+            # exact LML from the freshly rebuilt factor — one O(n^2)
+            # triangular solve, only paid when a log is requested
             fit_log.log(
                 iteration=i,
                 params=[float(v) for v in adam.params],
                 noise=float(state.noise),
+                scale=float(info["scale"]) if scalable else None,
+                max_delta=float(info["max_delta"]),
+                likelihood=float(log_marginal_likelihood(state)),
             )
         if (not bool(progress)) or (time.monotonic() - t0 > max_time):
             break
@@ -230,11 +255,17 @@ def fit_parameters(
 
 
 # Convenience: a single jitted training step (prior refit + one scaled ADAM
-# iteration), used by the multi-chip dry-run and benchmarks.
+# iteration), used by the multi-chip dry-run and benchmarks. Returns the
+# step's (state, adam, progress, ok) — per-iteration info is dropped here.
 @partial(jax.jit, static_argnames=("do_fit_prior",))
 def train_step(state: GPState, adam: AdamState, i, do_fit_prior: bool = False):
     if do_fit_prior:
         state = fit_prior_padded(state)
     if state.kernel.is_scalable:
-        return _scaled_step(state, adam, i, jnp.asarray(DEFAULT_CONVERGENCE_FRACTION))
-    return _generic_step(state, adam, i, jnp.asarray(DEFAULT_CONVERGENCE_FRACTION))
+        step = _scaled_step
+    else:
+        step = _generic_step
+    state, adam, progress, ok, _ = step(
+        state, adam, i, jnp.asarray(DEFAULT_CONVERGENCE_FRACTION)
+    )
+    return state, adam, progress, ok

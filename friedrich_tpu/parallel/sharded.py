@@ -52,7 +52,7 @@ def make_sharded_train_step(mesh: Mesh, scalable: bool = True):
 
     def sharded_step(state: core.GPState, adam: AdamState, i, conv):
         state = state.replace(l=with_sharding_constraint(state.l, mat))
-        state, adam, progress, ok = step(state, adam, i, conv)
+        state, adam, progress, ok, _ = step(state, adam, i, conv)
         state = state.replace(l=with_sharding_constraint(state.l, mat))
         return state, adam, progress, ok
 

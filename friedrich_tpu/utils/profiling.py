@@ -17,7 +17,9 @@ import jax
 
 
 def annotate(name: str):
-    """Named trace scope (shows in profiler timelines; no-op cost otherwise).
+    """Host-side named trace scope (shows in profiler timelines; no-op cost
+    otherwise). For code INSIDE ``jit``, use :func:`scope` instead — a
+    TraceAnnotation around traced code only annotates tracing time.
 
     Usable as a context manager::
 
@@ -25,6 +27,15 @@ def annotate(name: str):
             k = train_covariance_padded(...)
     """
     return jax.profiler.TraceAnnotation(name)
+
+
+def scope(name: str):
+    """Device-side named scope for jitted code: prefixes the XLA op names
+    emitted under it, so the hot phases (covariance build, factorization,
+    solves, fit steps, NUTS transitions) appear as named groups in
+    ``jax.profiler`` / Perfetto device traces. Wired through the library's
+    hot paths (``models/gp.py``, ``models/optimizer.py``, ``mcmc/nuts.py``)."""
+    return jax.named_scope(name)
 
 
 @contextlib.contextmanager

@@ -189,6 +189,26 @@ def test_fitlog_and_summary_table():
     fit_kernel_noise(gp.state, max_iter=4, convergence_fraction=1e-12, fit_log=log)
     assert len(log) == 4
     assert all(np.isfinite(r.noise) for r in log.records)
+    # every FitRecord field is populated (scaled path: scale is real)
+    for r in log.records:
+        assert np.isfinite(r.max_delta)
+        assert np.isfinite(r.likelihood)
+        assert r.scale is not None and np.isfinite(r.scale)
+    # the per-iteration likelihood is the exact LML of the updated state
+    from friedrich_tpu.models.gp import log_marginal_likelihood
+    from friedrich_tpu.models.optimizer import fit_kernel_noise as fkn
+
+    final = fkn(gp.state, max_iter=4, convergence_fraction=1e-12)
+    assert abs(log.records[-1].likelihood - float(log_marginal_likelihood(final))) < 1e-8
+
+    # generic path: scale is None, the rest populated
+    gp2 = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.RationalQuadratic(alpha=1.0, ls=1.0), 0.2, None, x, y
+    )
+    log2 = FitLog()
+    fit_kernel_noise(gp2.state, max_iter=2, convergence_fraction=1e-12, fit_log=log2)
+    assert all(r.scale is None for r in log2.records)
+    assert all(np.isfinite(r.max_delta) and np.isfinite(r.likelihood) for r in log2.records)
 
     samples = jnp.asarray(RNG.normal(size=(50, 4, 2)))
     table = mcmc_summary_table(samples)

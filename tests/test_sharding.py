@@ -53,7 +53,7 @@ def test_sharded_train_step_matches_single_device():
     params = state.kernel.get_params()
     adam = AdamState(params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params))
 
-    ref_state, ref_adam, ref_prog, ref_ok = _scaled_step(
+    ref_state, ref_adam, ref_prog, ref_ok, _ = _scaled_step(
         state, adam, jnp.asarray(1), jnp.asarray(0.05)
     )
 
@@ -116,7 +116,7 @@ def test_sharded_train_step_generic_path():
         [state.kernel.get_params(), jnp.log(state.noise)[None]]
     )
     adam = AdamState(params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params))
-    ref_state, ref_adam, _, ref_ok = _generic_step(
+    ref_state, ref_adam, _, ref_ok, _ = _generic_step(
         state, adam, jnp.asarray(1), jnp.asarray(0.05)
     )
     step = make_sharded_train_step(mesh, scalable=False)
