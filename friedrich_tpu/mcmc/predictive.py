@@ -52,6 +52,7 @@ def predictive_mixture(
     theta_samples: Array,
     xq: Array,
     max_draws: int = 64,
+    chunk_size: int = 4,
 ) -> tuple[Array, Array]:
     """(mean, variance) of the hyperparameter-marginalized predictive.
 
@@ -59,6 +60,13 @@ def predictive_mixture(
     by :func:`sample_hyperparameters` — any shape (..., dim); flattened and
     thinned evenly to at most ``max_draws``. Non-PSD draws are dropped from
     the average.
+
+    Each draw rebuilds a (cap, cap) covariance + factor, so a naive vmap
+    over S draws allocates S * cap^2 floats at once (OOM at modest n on a
+    16 GB chip). Draws are therefore processed ``chunk_size`` at a time
+    (vmapped within a chunk, sequential across chunks via ``lax.map``):
+    peak memory is bounded by ``chunk_size * cap^2`` floats regardless of
+    ``max_draws`` — at f32, cap=8k, the default chunk is ~1 GB.
     """
     signs = initial_signs(state)
     flat = theta_samples.reshape(-1, theta_samples.shape[-1])
@@ -80,7 +88,9 @@ def predictive_mixture(
         zero = jnp.zeros_like(mean)
         return jnp.where(ok, mean, zero), jnp.where(ok, var, zero), ok
 
-    means, variances, oks = jax.vmap(one_draw)(thetas)  # (S, m), (S,)
+    means, variances, oks = jax.lax.map(
+        one_draw, thetas, batch_size=min(chunk_size, take)
+    )  # (S, m), (S, m), (S,)
     weight = oks.astype(means.dtype)
     total = jnp.maximum(jnp.sum(weight), 1.0)
     mix_mean = jnp.einsum("s,sm->m", weight, means) / total
@@ -94,10 +104,14 @@ def sample_predictive(
     xq: Array,
     key: jax.Array,
     num_draws: int = 32,
+    chunk_size: int = 4,
 ) -> Array:
     """Draw from the marginalized predictive: pick a random theta per draw,
     then sample the corresponding posterior GP at ``xq``. Shape
-    (num_draws, m). Non-PSD draws fall back to the posterior mean."""
+    (num_draws, m). Non-PSD draws fall back to the posterior mean.
+
+    Memory-bounded like :func:`predictive_mixture`: at most ``chunk_size``
+    covariance rebuilds live at once."""
     signs = initial_signs(state)
     flat = theta_samples.reshape(-1, theta_samples.shape[-1])
     key_idx, key_norm = jax.random.split(key)
@@ -124,4 +138,8 @@ def sample_predictive(
         ok = ok & jnp.all(jnp.isfinite(draw))
         return jnp.where(ok, draw, jnp.where(jnp.isfinite(mean), mean, 0.0))
 
-    return jax.vmap(one)(thetas, zs)
+    return jax.lax.map(
+        lambda tz: one(tz[0], tz[1]),
+        (thetas, zs),
+        batch_size=min(chunk_size, num_draws),
+    )

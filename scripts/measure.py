@@ -1,0 +1,275 @@
+"""TPU measurement tool feeding BASELINE.md (consolidates the round-1
+measure_tpu{,2,3,4}.py batch scripts into one parameterized CLI).
+
+Each experiment prints progressive JSON lines (one per measurement) so a
+partial run still yields data; every experiment is isolated with
+try/except. Run on the real chip (default backend) — measurements scale
+with problem size, so distrust any number that does not (the tunnel
+runtime result-caches tiny identical executions).
+
+Usage:
+    python scripts/measure.py EXP [EXP...] [options]
+
+Experiments:
+    factor   build+factor wall-clock: --backend {dense,streamed,tiled,
+             hybrid} --n --block --levels --dtype {f32,bf16}
+    cov      covariance build alone (XLA vs Pallas): --n
+    predict  mean+variance throughput against a streamed factor: --n --m
+    nuts     NUTS transitions/s on a GP hyperparameter posterior:
+             --gp-n --chains
+    gemm     raw GEMM roofline probe (f32 + bf16): --n
+    all      factor(hybrid) + cov + predict + nuts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(f, *a, r=3):
+    jax.block_until_ready(f(*a))
+    ts = []
+    for _ in range(r):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*a))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _kernel_noise(dtype):
+    import friedrich_tpu.kernels as fk
+
+    return (
+        fk.SquaredExp(ls=jnp.asarray(0.5, dtype), ampl=jnp.asarray(1.0, dtype)),
+        jnp.asarray(1.0, dtype),
+    )
+
+
+def exp_factor(args):
+    """Fused covariance build + Cholesky — the BASELINE headline op."""
+    dtype = jnp.float32
+    kern, noise = _kernel_noise(dtype)
+    rng = np.random.default_rng(0)
+    n = args.n
+    x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
+    method = "gram_bf16" if args.dtype == "bf16" else "gram"
+    backend = args.backend
+    try:
+        if backend == "hybrid":
+            from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
+
+            f = jax.jit(
+                lambda x: hybrid_cholesky_factor(
+                    kern, x, n, noise, block=args.block, levels=args.levels,
+                    method=method,
+                )[0]
+            )
+        elif backend == "streamed":
+            from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+            f = jax.jit(
+                lambda x: streamed_cholesky_factor(
+                    kern, x, n, noise, block=args.block, method=method
+                )[0]
+            )
+        elif backend == "tiled":
+            from friedrich_tpu.ops.tiled import tiled_cholesky_factor
+
+            f = jax.jit(
+                lambda x: tiled_cholesky_factor(
+                    kern, x, n, noise, block=args.block, method=method
+                )[0]
+            )
+        else:
+            from friedrich_tpu.ops.covariance import train_covariance_padded
+            from friedrich_tpu.ops.cholesky import factor
+
+            f = jax.jit(
+                lambda x: factor(
+                    train_covariance_padded(kern, x, n, noise, method=method)
+                )[0]
+            )
+        t = timeit(f, x, r=args.repeats)
+        emit(
+            exp="factor", backend=backend, n=n, block=args.block,
+            levels=args.levels, dtype=args.dtype, seconds=round(t, 4),
+            eff_tflops=round(n**3 / 3 / t / 1e12, 1),
+        )
+    except Exception as e:
+        emit(exp="factor", backend=backend, n=n, dtype=args.dtype,
+             error=str(e)[:300])
+
+
+def exp_cov(args):
+    """Covariance build alone: XLA fused vs the Pallas tile kernel."""
+    dtype = jnp.float32
+    kern, noise = _kernel_noise(dtype)
+    from friedrich_tpu.ops.covariance import train_covariance_padded
+
+    rng = np.random.default_rng(0)
+    n = args.n
+    x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
+    f_xla = jax.jit(lambda x: train_covariance_padded(kern, x, n, noise))
+    try:
+        t_xla = timeit(f_xla, x)
+        emit(exp="cov_build_xla", n=n, seconds=round(t_xla, 4))
+    except Exception as e:
+        emit(exp="cov_build_xla", n=n, error=str(e)[:200])
+        return
+    try:
+        from friedrich_tpu.ops.pallas.covariance_pallas import (
+            train_covariance_pallas,
+        )
+
+        f_pal = jax.jit(lambda x: train_covariance_pallas(kern, x, n, noise))
+        t_pal = timeit(f_pal, x)
+        err = float(jnp.max(jnp.abs(f_pal(x) - f_xla(x))))
+        emit(exp="cov_build_pallas", n=n, seconds=round(t_pal, 4),
+             max_err_vs_xla=err)
+    except Exception as e:
+        emit(exp="cov_build_pallas", n=n, error=str(e)[:300])
+
+
+def exp_predict(args):
+    """Posterior mean+variance throughput against a streamed 50k factor."""
+    dtype = jnp.float32
+    kern, noise = _kernel_noise(dtype)
+    from friedrich_tpu.ops.covariance import (
+        cross_covariance_train_padded,
+        kernel_diag,
+    )
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+    rng = np.random.default_rng(0)
+    n, m = args.n, args.m
+    x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
+    try:
+        l_mat, _ = jax.jit(
+            lambda x: streamed_cholesky_factor(kern, x, n, noise, block=2048)
+        )(x)
+        xq = jnp.asarray(rng.normal(size=(m, args.d)), dtype)
+        resid = jnp.asarray(rng.normal(size=(n,)), dtype)
+
+        @jax.jit
+        def predict(l_mat, x, resid, xq):
+            from jax.scipy.linalg import solve_triangular
+
+            c = cross_covariance_train_padded(kern, x, n, xq)
+            kl = solve_triangular(l_mat, c, lower=True)
+            w = solve_triangular(l_mat, kl, lower=True, trans=1)
+            return w.T @ resid, kernel_diag(kern, xq) - jnp.sum(kl * kl, axis=0)
+
+        t = timeit(predict, l_mat, x, resid, xq, r=args.repeats)
+        emit(exp="predict_mean_var", n=n, m=m, seconds=round(t, 4),
+             points_per_sec=round(m / t))
+    except Exception as e:
+        emit(exp="predict", n=n, m=m, error=str(e)[:300])
+
+
+def exp_nuts(args):
+    """NUTS transitions/s per chip on an exact-LML GP hyperparameter
+    posterior (the BASELINE samples/s headline)."""
+    import friedrich_tpu.kernels as fk
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu.mcmc import initial_theta, make_hyperparam_logprob
+    from friedrich_tpu.mcmc.nuts import sample_nuts
+    from friedrich_tpu.models import gp as core
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    ngp = args.gp_n
+    xg = jnp.asarray(rng.normal(size=(ngp, 4)), dtype)
+    yg = jnp.sin(xg[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=(ngp,)), dtype)
+    kern = fk.SquaredExp(ls=jnp.asarray(1.0, dtype), ampl=jnp.asarray(1.0, dtype))
+    state, _ = core.make_state(kern, fp.ZeroPrior(), jnp.asarray(0.2, dtype), xg, yg)
+    logp = make_hyperparam_logprob(state)
+    theta0 = initial_theta(state)
+    for chains in args.chains:
+        warm, num = args.warmup, args.samples
+        try:
+            def run(key, c=chains):
+                return sample_nuts(
+                    logp, theta0, key, num_warmup=warm, num_samples=num,
+                    num_chains=c, max_depth=6,
+                )
+
+            res = run(jax.random.PRNGKey(0))
+            jax.block_until_ready(res.samples)  # compile + warm
+            t1 = time.perf_counter()
+            res = run(jax.random.PRNGKey(1))
+            jax.block_until_ready(res.samples)
+            t_run = time.perf_counter() - t1
+            emit(
+                exp="nuts_gp", n=ngp, chains=chains,
+                transitions=chains * (warm + num),
+                run_seconds=round(t_run, 3),
+                transitions_per_sec=round(chains * (warm + num) / t_run, 1),
+                mean_depth=round(float(jnp.mean(res.tree_depth)), 2),
+                div_rate=round(float(jnp.mean(res.divergent)), 4),
+            )
+        except Exception as e:
+            emit(exp="nuts_gp", chains=chains, error=str(e)[:300])
+
+
+def exp_gemm(args):
+    """Raw GEMM roofline probe: the chip's achievable matmul rate per dtype
+    (the denominator for achieved-fraction numbers in BASELINE.md)."""
+    n = args.n
+    rng = np.random.default_rng(0)
+    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        try:
+            a = jnp.asarray(rng.normal(size=(n, n)), dtype)
+            b = jnp.asarray(rng.normal(size=(n, n)), dtype)
+            f = jax.jit(
+                lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+            )
+            t = timeit(f, a, b, r=5)
+            emit(exp="gemm", dtype=name, n=n, seconds=round(t, 5),
+                 tflops=round(2 * n**3 / t / 1e12, 1))
+        except Exception as e:
+            emit(exp="gemm", dtype=name, error=str(e)[:200])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("exps", nargs="+",
+                   choices=["factor", "cov", "predict", "nuts", "gemm", "all"])
+    p.add_argument("--backend", default="hybrid",
+                   choices=["dense", "streamed", "tiled", "hybrid"])
+    p.add_argument("--n", type=int, default=50000)
+    p.add_argument("--m", type=int, default=4096)
+    p.add_argument("--d", type=int, default=8)
+    p.add_argument("--block", type=int, default=2500)
+    p.add_argument("--levels", type=int, default=2)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--gp-n", type=int, default=1024)
+    p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--samples", type=int, default=100)
+    p.add_argument("--repeats", type=int, default=2)
+    args = p.parse_args(argv)
+
+    exps = list(args.exps)
+    if "all" in exps:
+        exps = ["factor", "cov", "predict", "nuts"]
+    for e in exps:
+        {"factor": exp_factor, "cov": exp_cov, "predict": exp_predict,
+         "nuts": exp_nuts, "gemm": exp_gemm}[e](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -275,6 +275,20 @@ def test_predictive_mixture_marginalizes_sensibly():
         np.asarray(draws.mean(axis=0)), np.asarray(mix_mean), atol=0.8
     )
 
+    # the memory-bounding chunk size must not change the result — including
+    # chunks that do not divide the draw count, and chunk > draws
+    for cs in (1, 3, 16, 64):
+        m_c, v_c = predictive_mixture(
+            gp.state, res.samples, xq, max_draws=16, chunk_size=cs
+        )
+        np.testing.assert_allclose(np.asarray(m_c), np.asarray(mix_mean), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v_c), np.asarray(mix_var), atol=1e-10)
+    draws_c = sample_predictive(
+        gp.state, res.samples, xq, jax.random.PRNGKey(6), num_draws=64,
+        chunk_size=7,
+    )
+    np.testing.assert_allclose(np.asarray(draws_c), np.asarray(draws), atol=1e-10)
+
 
 def test_ess_collapses_for_unmixed_chains():
     """Regression for the var+ normalization: chains stuck in different
