@@ -99,8 +99,11 @@ class GaussianProcessBuilder:
     # -- TPU-native extensions -------------------------------------------------
 
     def set_distance_method(self, method: str) -> "GaussianProcessBuilder":
-        """'gram' (MXU GEMM identity, default) or 'direct' (broadcast diff)."""
-        if method not in ("gram", "direct"):
+        """'gram' (MXU GEMM identity, default), 'gram_bf16' (bfloat16
+        inputs with float32 MXU accumulation — the mixed-precision
+        performance path; ~2^-8 relative feature error), or 'direct'
+        (broadcast diff, bit-closest to the reference)."""
+        if method not in ("gram", "gram_bf16", "direct"):
             raise ConfigError(f"unknown distance method {method!r}")
         self._method = method
         return self

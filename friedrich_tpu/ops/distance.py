@@ -11,10 +11,17 @@ Kernels declare which features they need (``dot``, ``sqdist``, ``dist``) and
 each feature is computed at most once per covariance build, shared across
 Sum/Prod kernel compositions.
 
-Two squared-distance implementations:
+Three squared-distance implementations:
 
 - ``gram``: the GEMM identity above — O(n*m*d) FLOPs on the MXU; small
   negative rounding residue clamped to zero. Default, fastest.
+- ``gram_bf16``: the same identity with the inputs cast to bfloat16 for
+  the GEMM and float32 MXU accumulation (``preferred_element_type``); the
+  squared norms stay full-precision. The SURVEY §7 dtype-policy
+  performance path: ~2-4x GEMM rate on TPU MXUs at a relative feature
+  error of ~2^-8 from the input rounding (documented in BASELINE.md).
+  Output dtype is unchanged (f32), so everything downstream — the kernel's
+  elementwise map, the factorization — runs at full precision.
 - ``direct``: broadcasted (x1-x2)^2 sum — bit-closer to the reference's
   ``(x1 - x2).norm_squared()`` (``kernel.rs:558``), O(n*m*d) memory; used
   for high-accuracy small-n paths.
@@ -52,13 +59,22 @@ def pairwise_features(
     """
     feats: dict[str, Array] = {}
     need_sq = SQDIST in needs or DIST in needs
+    gram_like = method in ("gram", "gram_bf16")
     dot = None
-    if DOT in needs or (need_sq and method == "gram"):
-        dot = jnp.dot(x1, x2.T, preferred_element_type=x1.dtype)
+    if DOT in needs or (need_sq and gram_like):
+        if method == "gram_bf16":
+            # bf16 inputs, f32 MXU accumulation; result back in x1.dtype
+            dot = jnp.dot(
+                x1.astype(jnp.bfloat16),
+                x2.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32,
+            ).astype(x1.dtype)
+        else:
+            dot = jnp.dot(x1, x2.T, preferred_element_type=x1.dtype)
     if DOT in needs:
         feats[DOT] = dot
     if need_sq:
-        if method == "gram":
+        if gram_like:
             n1 = jnp.sum(x1 * x1, axis=-1)
             n2 = jnp.sum(x2 * x2, axis=-1)
             sq = n1[:, None] + n2[None, :] - 2.0 * dot

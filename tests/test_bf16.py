@@ -1,0 +1,103 @@
+"""Mixed-precision (bfloat16) covariance-build path.
+
+``method="gram_bf16"`` computes the pairwise GEMM with bfloat16 inputs and
+float32 MXU accumulation (SURVEY §7 dtype policy); norms, the kernel's
+elementwise map, and the factorization stay full-precision. Accuracy bound:
+input rounding gives a relative feature error ~2^-8, so covariance entries
+carry O(1e-2) relative error for O(1) features — a documented performance
+trade, not a parity path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import friedrich_tpu as ft
+import friedrich_tpu.kernels as fk
+import friedrich_tpu.priors as fp
+from friedrich_tpu.ops.covariance import cross_covariance
+from friedrich_tpu.ops.distance import pairwise_features
+
+RNG = np.random.default_rng(0)
+
+
+def test_gram_bf16_features_close_to_f32():
+    x1 = jnp.asarray(RNG.normal(size=(32, 8)), jnp.float32)
+    x2 = jnp.asarray(RNG.normal(size=(24, 8)), jnp.float32)
+    needs = frozenset({"dot", "sqdist", "dist"})
+    f32 = pairwise_features(x1, x2, needs, method="gram")
+    bf16 = pairwise_features(x1, x2, needs, method="gram_bf16")
+    for name in needs:
+        a, b = np.asarray(f32[name]), np.asarray(bf16[name])
+        assert b.dtype == a.dtype  # output dtype unchanged (f32 here)
+        scale = np.maximum(np.abs(a), 1.0)
+        assert np.max(np.abs(a - b) / scale) < 0.05
+    # and it is genuinely lower precision (the cast really happened)
+    assert np.max(np.abs(np.asarray(f32["dot"]) - np.asarray(bf16["dot"]))) > 0
+
+
+def test_gram_bf16_covariance_close():
+    kern = fk.SquaredExp(ls=1.5, ampl=2.0)
+    x1 = jnp.asarray(RNG.normal(size=(40, 6)), jnp.float32)
+    k32 = np.asarray(cross_covariance(kern, x1, x1, method="gram"))
+    kbf = np.asarray(cross_covariance(kern, x1, x1, method="gram_bf16"))
+    assert np.max(np.abs(k32 - kbf)) < 0.05 * np.max(np.abs(k32))
+
+
+def test_gram_bf16_end_to_end_gp():
+    """Full train+predict through the builder with the bf16 build: close to
+    the f32 path, exact same shapes/API."""
+    x = RNG.normal(size=(64, 3)).astype(np.float32)
+    y = np.sin(x.sum(axis=1)).astype(np.float32)
+    xq = RNG.normal(size=(9, 3)).astype(np.float32)
+
+    gp32 = (
+        ft.GaussianProcessBuilder(x, y)
+        .set_kernel(fk.SquaredExp(ls=1.0, ampl=1.0))
+        .set_noise(0.3)
+        .train()
+    )
+    gpbf = (
+        ft.GaussianProcessBuilder(x, y)
+        .set_kernel(fk.SquaredExp(ls=1.0, ampl=1.0))
+        .set_noise(0.3)
+        .set_distance_method("gram_bf16")
+        .train()
+    )
+    m32 = np.asarray(gp32.predict(xq))
+    mbf = np.asarray(gpbf.predict(xq))
+    v32 = np.asarray(gp32.predict_variance(xq))
+    vbf = np.asarray(gpbf.predict_variance(xq))
+    np.testing.assert_allclose(mbf, m32, atol=0.1)
+    np.testing.assert_allclose(vbf, v32, atol=0.05)
+
+
+def test_gram_bf16_in_streamed_and_hybrid_backends():
+    """The mixed-precision build threads through the fused factorizers."""
+    from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+    kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+    n = 64
+    x = jnp.asarray(RNG.normal(size=(n, 4)), jnp.float32)
+    noise = jnp.float32(0.5)
+    l32, ok32 = streamed_cholesky_factor(kern, x, n, noise, block=16)
+    lbf, okbf = streamed_cholesky_factor(
+        kern, x, n, noise, block=16, method="gram_bf16"
+    )
+    assert bool(ok32) and bool(okbf)
+    assert float(jnp.max(jnp.abs(l32 - lbf))) < 0.1
+    lh, okh = hybrid_cholesky_factor(
+        kern, x, n, noise, block=16, method="gram_bf16"
+    )
+    assert bool(okh)
+    assert float(jnp.max(jnp.abs(l32 - lh))) < 0.1
+
+
+def test_builder_rejects_unknown_method():
+    from friedrich_tpu.utils.errors import ConfigError
+
+    x = RNG.normal(size=(8, 2))
+    y = RNG.normal(size=8)
+    with pytest.raises(ConfigError):
+        ft.GaussianProcessBuilder(x, y).set_distance_method("fp8")
