@@ -2,6 +2,10 @@
 MCMC). Exact-LML targets, chain-parallel HMC/NUTS, diagnostics."""
 
 from .diagnostics import ess, rhat, summary
+from .distributed_logprob import (
+    make_distributed_hyperparam_logprob,
+    sample_hyperparameters_distributed,
+)
 from .hmc import HMCResult, sample_hmc
 from .logprob import initial_signs, initial_theta, make_hyperparam_logprob
 from .nuts import NUTSResult, sample_nuts
@@ -48,7 +52,9 @@ __all__ = [
     "initial_theta",
     "initial_signs",
     "make_hyperparam_logprob",
+    "make_distributed_hyperparam_logprob",
     "sample_hyperparameters",
+    "sample_hyperparameters_distributed",
     "predictive_mixture",
     "sample_predictive",
 ]

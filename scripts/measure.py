@@ -225,6 +225,43 @@ def exp_nuts(args):
             emit(exp="nuts_gp", chains=chains, error=str(e)[:300])
 
 
+def exp_diag(args):
+    """Microbenchmarks of the factorization's constituent ops — locates the
+    rate sink behind the tiled/hybrid backends (diagonal-block Cholesky and
+    TRSM tiles vs plain GEMMs)."""
+    rng = np.random.default_rng(0)
+    for b in (1024, 2048, 2500, 4096):
+        try:
+            a = jnp.asarray(rng.normal(size=(b, b)), jnp.float32)
+            spd = a @ a.T + b * jnp.eye(b, dtype=jnp.float32)
+            f = jax.jit(jnp.linalg.cholesky)
+            t = timeit(f, spd, r=5)
+            emit(exp="diag_chol", b=b, seconds=round(t, 5),
+                 eff_tflops=round(b**3 / 3 / t / 1e12, 2))
+        except Exception as e:
+            emit(exp="diag_chol", b=b, error=str(e)[:200])
+    from jax.scipy.linalg import solve_triangular
+
+    for b in (2048, 2500):
+        try:
+            a = jnp.asarray(rng.normal(size=(b, b)), jnp.float32)
+            spd = a @ a.T + b * jnp.eye(b, dtype=jnp.float32)
+            l_mat = jnp.linalg.cholesky(spd)
+            rhs = jnp.asarray(rng.normal(size=(b, 4096)), jnp.float32)
+            f = jax.jit(lambda l, r: solve_triangular(l, r, lower=True))
+            t = timeit(f, l_mat, rhs, r=5)
+            emit(exp="diag_trsm", b=b, rhs=4096, seconds=round(t, 5),
+                 eff_tflops=round(b * b * 4096 / t / 1e12, 2))
+            # GEMM of the same shape for comparison
+            g = jax.jit(lambda l, r: jnp.dot(l, r, preferred_element_type=jnp.float32))
+            tg = timeit(g, l_mat, rhs, r=5)
+            emit(exp="diag_gemm_same_shape", b=b, rhs=4096,
+                 seconds=round(tg, 5),
+                 tflops=round(2 * b * b * 4096 / tg / 1e12, 2))
+        except Exception as e:
+            emit(exp="diag_trsm", b=b, error=str(e)[:200])
+
+
 def exp_gemm(args):
     """Raw GEMM roofline probe: the chip's achievable matmul rate per dtype
     (the denominator for achieved-fraction numbers in BASELINE.md)."""
@@ -247,7 +284,8 @@ def exp_gemm(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("exps", nargs="+",
-                   choices=["factor", "cov", "predict", "nuts", "gemm", "all"])
+                   choices=["factor", "cov", "predict", "nuts", "gemm",
+                            "diag", "all"])
     p.add_argument("--backend", default="hybrid",
                    choices=["dense", "streamed", "tiled", "hybrid"])
     p.add_argument("--n", type=int, default=50000)
@@ -268,7 +306,7 @@ def main(argv=None):
         exps = ["factor", "cov", "predict", "nuts"]
     for e in exps:
         {"factor": exp_factor, "cov": exp_cov, "predict": exp_predict,
-         "nuts": exp_nuts, "gemm": exp_gemm}[e](args)
+         "nuts": exp_nuts, "gemm": exp_gemm, "diag": exp_diag}[e](args)
 
 
 if __name__ == "__main__":
