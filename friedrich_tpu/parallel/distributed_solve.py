@@ -51,15 +51,21 @@ import functools
 
 
 @functools.lru_cache(maxsize=128)
-def _build_solve_program(mesh, cap, m, b, transposed):
+def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
     """Build + jit the shard_map sweep ONCE per (mesh, shapes, direction) —
-    repeated solves reuse the compiled program."""
+    repeated solves reuse the compiled program.
+
+    ``rhs_sharded``: the right-hand side arrives ROW-SHARDED like L (each
+    device holds its cap/D rows) instead of replicated; the panel owner
+    broadcasts its rhs block alongside its L rows. Lets callers build
+    covariance strips shard-local (n*m/D work per device) instead of
+    replicated."""
     axes = tuple(mesh.axis_names)
     n_dev = mesh.size
     local_rows = cap // n_dev
     num_panels = cap // b
 
-    def body(l_local, c_rep):
+    def body(l_local, c_in):
         dtype = l_local.dtype
         rank = lax.axis_index(axes)
         row0 = rank * local_rows
@@ -71,6 +77,12 @@ def _build_solve_program(mesh, cap, m, b, transposed):
             )
             sl = jnp.where(owned, sl, jnp.zeros_like(sl))
             return lax.psum(sl, axes)
+
+        def rhs_block(j0, owned, off):
+            """(b, m) rhs block for the panel at global row j0."""
+            if rhs_sharded:
+                return owner_bcast(c_in, off, owned, b)
+            return lax.dynamic_slice(c_in, (j0, jnp.zeros_like(j0)), (b, m))
 
         y = jnp.zeros((cap, m), dtype=dtype)
 
@@ -86,9 +98,9 @@ def _build_solve_program(mesh, cap, m, b, transposed):
                 # L[j, :j0] @ y[:j0] — mask columns >= j0 (y rows there are 0)
                 cols = jnp.arange(cap)
                 l_left = jnp.where(cols[None, :] < j0, l_rows, 0.0)
-                rhs = lax.dynamic_slice(
-                    c_rep, (j0, jnp.zeros_like(j0)), (b, m)
-                ) - jnp.dot(l_left, y, preferred_element_type=dtype)
+                rhs = rhs_block(j0, owned, off) - jnp.dot(
+                    l_left, y, preferred_element_type=dtype
+                )
                 ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
                 yj = solve_triangular(ld, rhs, lower=True)
                 return lax.dynamic_update_slice(y, yj, (j0, jnp.zeros_like(j0)))
@@ -117,9 +129,7 @@ def _build_solve_program(mesh, cap, m, b, transposed):
                     jnp.dot(l_below.T, y_local, preferred_element_type=dtype),
                     axes,
                 )
-                rhs = lax.dynamic_slice(
-                    c_rep, (j0, jnp.zeros_like(j0)), (b, m)
-                ) - contrib
+                rhs = rhs_block(j0, owned, off) - contrib
                 l_rows = owner_bcast(l_local, off, owned, b)
                 ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
                 xj = solve_triangular(ld, rhs, lower=True, trans=1)
@@ -133,14 +143,14 @@ def _build_solve_program(mesh, cap, m, b, transposed):
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_rows, P()),
+        in_specs=(spec_rows, spec_rows if rhs_sharded else P()),
         out_specs=P(),
         check_rep=False,
     )
     return jax.jit(fn)
 
 
-def _solve(mesh, l_sharded, c, block, transposed):
+def _solve(mesh, l_sharded, c, block, transposed, rhs_sharded=False):
     from ..ops.partition import pick_block
 
     n_dev = mesh.size
@@ -148,9 +158,65 @@ def _solve(mesh, l_sharded, c, block, transposed):
     m = c.shape[1] if c.ndim == 2 else 1
     c2 = c.reshape(cap, m)
     b = pick_block(cap // n_dev, block)
-    fn = _build_solve_program(mesh, cap, m, b, transposed)
+    fn = _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded)
     y = fn(l_sharded, c2)
     return y.reshape(c.shape)
+
+
+def distributed_solve_lower_sharded_rhs(
+    mesh: Mesh, l_local_rows: Array, c_sharded: Array, block: int = 512
+) -> Array:
+    """Forward sweep with the RHS row-sharded like L (see
+    ``_build_solve_program``); returns y replicated."""
+    return _solve(mesh, l_local_rows, c_sharded, block, False, rhs_sharded=True)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_cross_program(mesh, treedef, num_leaves, cap, d, m, method):
+    """Shard-local training-cross-covariance strip: each device builds ONLY
+    its cap/D rows of K(X_train, Xq) (dead rows zeroed) — n*m/D build work
+    per device instead of the replicated build the solves used before."""
+    from ..ops.covariance import cross_covariance
+
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.size
+    local_rows = cap // n_dev
+
+    def body(x_local, n_arr, xq, *kleaves):
+        kern = jax.tree_util.tree_unflatten(treedef, kleaves)
+        rank = lax.axis_index(axes)
+        rows_global = rank * local_rows + jnp.arange(local_rows)
+        c = cross_covariance(kern, x_local, xq, method=method)
+        return jnp.where((rows_global < n_arr[0])[:, None], c, 0.0)
+
+    spec_rows = P(axes if len(axes) > 1 else axes[0])
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_rows, P(), P()) + tuple(P() for _ in range(num_leaves)),
+        out_specs=spec_rows,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_cross_covariance(
+    mesh: Mesh, kernel, x_pad: Array, n, xq: Array, method: str = "gram"
+) -> Array:
+    """Row-sharded K(X_train_pad, Xq) with dead rows zeroed — the
+    shard-local counterpart of ``cross_covariance_train_padded``. Feed the
+    result to ``distributed_solve_lower_sharded_rhs``."""
+    cap, d = x_pad.shape
+    leaves, treedef = jax.tree_util.tree_flatten(kernel)
+    fn = _build_cross_program(
+        mesh, treedef, len(leaves), cap, d, xq.shape[0], method
+    )
+    return fn(
+        x_pad,
+        jnp.asarray([n], jnp.int32),
+        xq,
+        *[jnp.asarray(v, x_pad.dtype) for v in leaves],
+    )
 
 
 def distributed_cho_solve(mesh: Mesh, l_sharded: Array, c: Array, block: int = 512) -> Array:

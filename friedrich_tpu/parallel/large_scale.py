@@ -4,8 +4,9 @@ End-to-end large-n path combining the distributed pieces:
 
 - **build**: row-sharded streamed Cholesky (``distributed_cholesky.py``) —
   K never materialized, factor stays sharded;
-- **predict**: replicated covariance strips + distributed triangular
-  sweeps (``distributed_solve.py``) for mean/variance/weights;
+- **predict**: SHARD-LOCAL covariance strips (each device builds its
+  cap/D rows) + distributed triangular sweeps (``distributed_solve.py``)
+  for mean/variance/weights;
 - **fit**: the reference's scaled ADAM rules (``optimizer.rs:211-283``)
   with the two O(n^3)-dense quantities replaced by factor-based solves and
   a Hutchinson trace estimator:
@@ -15,7 +16,9 @@ End-to-end large-n path combining the distributed pieces:
       tr(K^-1 dK_p)   ~= mean_z (K^-1 z)^T (dK_p z),  z Rademacher
   This is the standard unbiased estimator (cf. GPyTorch/arXiv:1809.11165);
   the small-n exact path remains the parity reference. Fixed probe seeds
-  make the fit deterministic.
+  make the fit deterministic. The whole fit iteration — gradient terms,
+  ADAM update, kernel/noise update, re-factorization — is ONE jitted
+  device program; the host syncs only the (progress, ok) stop booleans.
 
 The reference caps out at what one CPU core can factor; this module is the
 capability it lacks, so there is no parity target — correctness is checked
@@ -34,13 +37,15 @@ from jax.sharding import Mesh
 
 from ..config import DEFAULT_CONVERGENCE_FRACTION, DEFAULT_MAX_ITER, DEFAULT_MAX_TIME
 from ..models.optimizer import ADAM_EPS, AdamState, _adam_delta
-from ..ops.covariance import cross_covariance_train_padded, kernel_diag
+from ..ops.covariance import kernel_diag
 from ..ops.streamed_matvec import streamed_grad_matvec
 from ..utils.errors import CholeskyError
 from .distributed_cholesky import distributed_cholesky_factor
 from .distributed_solve import (
     distributed_cho_solve,
+    distributed_cross_covariance,
     distributed_solve_lower,
+    distributed_solve_lower_sharded_rhs,
     distributed_solve_lower_t,
 )
 
@@ -98,23 +103,29 @@ class LargeScaleGP:
     # -- prediction ---------------------------------------------------------
 
     def _cross(self, xq: Array) -> Array:
-        return cross_covariance_train_padded(
-            self.kernel, self.x, self.n, xq, method=self.method
+        """Row-SHARDED cross-covariance strip: each device builds only its
+        cap/D rows (the round-1 version built the full strip replicated on
+        every device — n*m redundant work and memory per device)."""
+        return distributed_cross_covariance(
+            self.mesh, self.kernel, self.x, self.n, xq, method=self.method
+        )
+
+    def _solve_lower_strip(self, c_sharded: Array) -> Array:
+        return distributed_solve_lower_sharded_rhs(
+            self.mesh, self.l_sharded, c_sharded, self.block
         )
 
     def predict(self, xq: Array) -> Array:
-        c = self._cross(xq)
-        w = distributed_cho_solve(self.mesh, self.l_sharded, c, self.block)
+        kl = self._solve_lower_strip(self._cross(xq))
+        w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
         return self.prior.mean(xq) + w.T @ self.resid
 
     def predict_variance(self, xq: Array) -> Array:
-        c = self._cross(xq)
-        kl = distributed_solve_lower(self.mesh, self.l_sharded, c, self.block)
+        kl = self._solve_lower_strip(self._cross(xq))
         return kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
 
     def predict_mean_variance(self, xq: Array) -> tuple[Array, Array]:
-        c = self._cross(xq)
-        kl = distributed_solve_lower(self.mesh, self.l_sharded, c, self.block)
+        kl = self._solve_lower_strip(self._cross(xq))
         w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
         mean = self.prior.mean(xq) + w.T @ self.resid
         var = kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
@@ -207,14 +218,15 @@ class LargeScaleGP:
 
     def sample_at(self, xq: Array):
         """Posterior sampler at ``xq`` (m x m covariance is dense — m stays
-        modest even when n is huge). Mirrors ``mod.rs:371-392``."""
+        modest even when n is huge). Mirrors ``mod.rs:371-392`` (triangular
+        form of the posterior covariance)."""
         from ..models.multivariate_normal import MultivariateNormal
         from ..ops.covariance import cross_covariance
 
-        c = self._cross(xq)
-        w = distributed_cho_solve(self.mesh, self.l_sharded, c, self.block)
+        kl = self._solve_lower_strip(self._cross(xq))
+        w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
         kqq = cross_covariance(self.kernel, xq, xq, method=self.method)
-        cov = kqq - c.T @ w
+        cov = kqq - kl.T @ kl
         mean = self.prior.mean(xq) + w.T @ self.resid
         return MultivariateNormal(mean, cov)
 
@@ -261,25 +273,95 @@ class LargeScaleGP:
         live = (jnp.arange(cap) < self.n)[:, None]
         return jnp.where(live, probes, 0.0)
 
-    def _gradient_terms(self, probes: Array):
+    def _gradient_terms_inner(self, l_sharded, kernel, resid, probes):
         """alpha = K^-1 r (distributed sweeps), exact data-fit terms via
         streamed dK matvecs, and Hutchinson complexity terms
-        tr(K^-1 dK_p) ~= mean_z (K^-1 z).(dK_p z)."""
+        tr(K^-1 dK_p) ~= mean_z (K^-1 z).(dK_p z). Pure — traceable inside
+        the jitted fit step."""
         alpha = distributed_cho_solve(
-            self.mesh, self.l_sharded, self.resid[:, None], self.block
+            self.mesh, l_sharded, resid[:, None], self.block
         )[:, 0]
         dk_alpha = streamed_grad_matvec(
-            self.kernel, self.x, self.n, alpha, method=self.method
+            kernel, self.x, self.n, alpha, method=self.method
         )
         data_fit = dk_alpha @ alpha
-        kinv_z = distributed_cho_solve(
-            self.mesh, self.l_sharded, probes, self.block
-        )
+        kinv_z = distributed_cho_solve(self.mesh, l_sharded, probes, self.block)
         dk_z = streamed_grad_matvec(
-            self.kernel, self.x, self.n, probes, method=self.method
+            kernel, self.x, self.n, probes, method=self.method
         )
         complexity = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
         return alpha, data_fit, complexity, kinv_z
+
+    def _gradient_terms(self, probes: Array):
+        return self._gradient_terms_inner(
+            self.l_sharded, self.kernel, self.resid, probes
+        )
+
+    def _make_fit_step(self, scaled: bool, convergence_fraction: float):
+        """ONE jitted device program per fit iteration: gradient terms,
+        ADAM update, kernel/noise update, and the distributed re-factor —
+        no host round-trips inside (the round-1 loop pulled ``scale`` with
+        ``float()`` and re-entered jit per call). The host syncs only the
+        (progress, ok) booleans for the stop rule, like the reference's
+        host-side convergence check (``optimizer.rs:120,138``)."""
+        mesh, block, method, eps = self.mesh, self.block, self.method, self.eps
+        x, n = self.x, self.n
+        conv = convergence_fraction
+
+        @jax.jit
+        def step_scaled(l_sharded, kernel, noise, resid, adam, probes, i):
+            alpha, data_fit, complexity, _ = self._gradient_terms_inner(
+                l_sharded, kernel, resid, probes
+            )
+            scale = (resid @ alpha) / jnp.asarray(self.n, alpha.dtype)
+            grads = (data_fit / scale - complexity) / 2.0
+            adam, delta = _adam_delta(adam, grads, i)
+            progress = jnp.any(jnp.abs(delta) > conv)
+            kernel = kernel.with_params(adam.params).rescale(scale)
+            noise = noise * scale
+            adam = adam.replace(params=kernel.get_params())
+            l_new, ok = distributed_cholesky_factor(
+                mesh, kernel, x, n, noise, eps=eps, block=block, method=method
+            )
+            return l_new, kernel, noise, adam, progress, ok
+
+        @jax.jit
+        def step_generic(l_sharded, kernel, noise, resid, adam, probes, i):
+            alpha, data_fit, complexity, kinv_z = self._gradient_terms_inner(
+                l_sharded, kernel, resid, probes
+            )
+            grads_kernel = (data_fit - complexity) / 2.0
+            # noise gradient (optimizer.rs:52-57) with Hutchinson trace and
+            # the log-space correction (optimizer.rs:105-110)
+            tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
+            noise_grad = noise * (alpha @ alpha - tr_kinv) * noise
+            grads = jnp.concatenate([grads_kernel, noise_grad[None]])
+            adam, delta = _adam_delta(adam, grads, i)
+            progress = jnp.any(jnp.abs(delta) > conv)
+            kernel = kernel.with_params(adam.params[:-1])
+            noise = jnp.exp(adam.params[-1])
+            l_new, ok = distributed_cholesky_factor(
+                mesh, kernel, x, n, noise, eps=eps, block=block, method=method
+            )
+            return l_new, kernel, noise, adam, progress, ok
+
+        return step_scaled if scaled else step_generic
+
+    def _run_fit(self, step, adam, probes, max_iter, max_time):
+        t0 = time.monotonic()
+        for i in range(1, max_iter + 1):
+            l_new, kernel, noise, adam, progress, ok = step(
+                self.l_sharded, self.kernel, self.noise, self.resid, adam,
+                probes, jnp.asarray(i),
+            )
+            if not bool(ok):
+                raise CholeskyError(
+                    "distributed fit: factorization failed at the updated "
+                    "hyperparameters; consider `cholesky_epsilon`."
+                )
+            self.l_sharded, self.kernel, self.noise = l_new, kernel, noise
+            if (not bool(progress)) or (time.monotonic() - t0 > max_time):
+                break
 
     def fit_scaled(
         self,
@@ -302,25 +384,8 @@ class LargeScaleGP:
         adam = AdamState(
             params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
         )
-
-        t0 = time.monotonic()
-        for i in range(1, max_iter + 1):
-            alpha, data_fit, complexity, _ = self._gradient_terms(probes)
-            scale = float(self.resid @ alpha) / self.n
-            grads = (data_fit / scale - complexity) / 2.0
-
-            adam, delta = _adam_delta(adam, grads, jnp.asarray(i))
-            progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
-
-            kernel = self.kernel.with_params(adam.params)
-            kernel = kernel.rescale(scale)
-            self.noise = self.noise * scale
-            self.kernel = kernel
-            adam = adam.replace(params=kernel.get_params())
-            self._factor()
-
-            if (not progress) or (time.monotonic() - t0 > max_time):
-                break
+        step = self._make_fit_step(True, convergence_fraction)
+        self._run_fit(step, adam, probes, max_iter, max_time)
 
     def fit_generic(
         self,
@@ -341,24 +406,5 @@ class LargeScaleGP:
         adam = AdamState(
             params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
         )
-
-        t0 = time.monotonic()
-        for i in range(1, max_iter + 1):
-            alpha, data_fit, complexity, kinv_z = self._gradient_terms(probes)
-            grads_kernel = (data_fit - complexity) / 2.0
-
-            # noise gradient (optimizer.rs:52-57) with Hutchinson trace and
-            # the log-space correction (optimizer.rs:105-110)
-            tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
-            noise_grad = self.noise * (alpha @ alpha - tr_kinv) * self.noise
-            grads = jnp.concatenate([grads_kernel, noise_grad[None]])
-
-            adam, delta = _adam_delta(adam, grads, jnp.asarray(i))
-            progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
-
-            self.kernel = self.kernel.with_params(adam.params[:-1])
-            self.noise = jnp.exp(adam.params[-1])
-            self._factor()
-
-            if (not progress) or (time.monotonic() - t0 > max_time):
-                break
+        step = self._make_fit_step(False, convergence_fraction)
+        self._run_fit(step, adam, probes, max_iter, max_time)
