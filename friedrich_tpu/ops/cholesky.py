@@ -36,6 +36,37 @@ Array = jnp.ndarray
 DEFAULT_BLOCK = 128
 
 
+def lower_inverse(ld: Array) -> Array:
+    """Explicit inverse of a small lower-triangular block (one TRSM against
+    the identity)."""
+    b = ld.shape[0]
+    return solve_triangular(ld, jnp.eye(b, dtype=ld.dtype), lower=True)
+
+
+def rsolve_lower_t(ld: Array, s: Array) -> Array:
+    """``s @ Ld^-T`` for a (m, b) strip against a (b, b) lower factor.
+
+    TPU TRSM runs ~6x slower than a same-shape GEMM (measured v5e, f32:
+    13.9 vs 166 TFLOP/s at b=2500 — BASELINE.md round-2 diagnostics), so
+    the float32 PERFORMANCE path inverts the diagonal block once (one
+    small TRSM) and applies it with a GEMM; the float64 PARITY path keeps
+    back-substitution (bit-stable vs the dense reference oracles). The
+    diagonal blocks are noise-regularized covariance factors, so the
+    inverse-multiply's conditioning penalty is benign at f32.
+    """
+    if s.dtype == jnp.float32:
+        return jnp.dot(s, lower_inverse(ld).T, preferred_element_type=s.dtype)
+    return solve_triangular(ld, s.T, lower=True).T
+
+
+def solve_lower_blockdiag(ld: Array, r: Array) -> Array:
+    """``Ld^-1 r`` for a (b, m) block against a (b, b) lower factor — same
+    dtype-gated inverse-GEMM trick as :func:`rsolve_lower_t`."""
+    if r.dtype == jnp.float32:
+        return jnp.dot(lower_inverse(ld), r, preferred_element_type=r.dtype)
+    return solve_triangular(ld, r, lower=True)
+
+
 def cholesky(k_mat: Array) -> tuple[Array, Array]:
     """Fast path: XLA-native Cholesky + an ``ok`` flag (finite diagonal).
 
@@ -44,7 +75,7 @@ def cholesky(k_mat: Array) -> tuple[Array, Array]:
     (``algebra/mod.rs:90``).
     """
     l_mat = jnp.linalg.cholesky(k_mat)
-    ok = jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+    ok = jnp.isfinite(jnp.sum(l_mat))
     return l_mat, ok
 
 
@@ -97,7 +128,7 @@ def cholesky_with_substitute(k_mat: Array, eps, block: int = DEFAULT_BLOCK) -> A
         diag = lax.dynamic_slice(strip, (j0, 0), (block, block))
         l11 = _unblocked_cholesky_substitute(diag, eps)
         # full-strip TRSM: S = strip @ L11^-T  (rows above j0 discarded below)
-        s = solve_triangular(l11, strip.T, lower=True).T
+        s = rsolve_lower_t(l11, strip)
         strip_new = lax.dynamic_update_slice(s, l11, (j0, 0))
         strip_new = jnp.where(rows < j0, 0.0, strip_new)
         below = jnp.where(rows < j0 + block, 0.0, strip_new)
@@ -120,7 +151,14 @@ def factor(k_mat: Array, eps=None, block: int = DEFAULT_BLOCK) -> tuple[Array, A
     if eps is None:
         return cholesky(k_mat)
     l_mat = cholesky_with_substitute(k_mat, eps, block=block)
-    return l_mat, jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+    # check the WHOLE factor: a heavily indefinite matrix can overflow the
+    # substitute cascade (each eps pivot divides its column by sqrt(eps),
+    # the trailing update squares it) into NaN in OFF-diagonal entries
+    # while the diagonal stays finite — nalgebra returns the same garbage
+    # silently; here it surfaces as ok=False -> CholeskyError. The check is
+    # a fused SUM reduction (NaN/inf-propagating), NOT jnp.all(isfinite(L)),
+    # whose (cap, cap) bool temp costs 2.5 GB at n=50k.
+    return l_mat, jnp.isfinite(jnp.sum(l_mat))
 
 
 def cholesky_append_padded(

@@ -90,6 +90,26 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
     # small slices from l_full — L11 is never held separately), write into L.
     cols1 = jnp.arange(h)[None, :]
     num_panels2 = h2 // block
+    num_panels1 = h // block
+
+    # f32 perf path: invert L11's diagonal blocks ONCE (h/B small TRSMs),
+    # so every forward-sweep step across ALL h2/B row panels is a GEMM —
+    # TPU TRSM is ~6x slower than same-shape GEMM (ops/cholesky.rsolve_lower_t).
+    if dtype == jnp.float32:
+        from .cholesky import lower_inverse
+
+        def inv_blk(jj, acc):
+            j0 = jj * block
+            ld = lax.dynamic_slice(l_full, (j0, j0), (block, block))
+            return lax.dynamic_update_slice(
+                acc, lower_inverse(ld), (j0, jnp.zeros_like(j0))
+            )
+
+        inv_diag = lax.fori_loop(
+            0, num_panels1, inv_blk, jnp.zeros((h, block), dtype)
+        )
+    else:
+        inv_diag = None
 
     def l21_panel(j, l_full):
         r0 = j * block
@@ -108,8 +128,12 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
             r = lax.dynamic_slice(rhs, (j0, zz), (block, block)) - jnp.dot(
                 l_left, y, preferred_element_type=dtype
             )
-            ld = lax.dynamic_slice(l_rows, (zz, j0), (block, block))
-            yj = solve_triangular(ld, r, lower=True)
+            if inv_diag is None:
+                ld = lax.dynamic_slice(l_rows, (zz, j0), (block, block))
+                yj = solve_triangular(ld, r, lower=True)
+            else:
+                inv_jj = lax.dynamic_slice(inv_diag, (j0, zz), (block, block))
+                yj = jnp.dot(inv_jj, r, preferred_element_type=dtype)
             return lax.dynamic_update_slice(y, yj, (j0, zz))
 
         y = lax.fori_loop(0, h // block, fwd, jnp.zeros((h, block), dtype))
@@ -158,8 +182,7 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
 
     l_full = region_cholesky_inplace(l_full, h, h2 // block, block, eps, True)
 
-    diag_v = jnp.diagonal(l_full)
-    ok2 = jnp.all(jnp.isfinite(diag_v))
+    ok2 = jnp.isfinite(jnp.sum(l_full))  # whole factor, no temp: see ops/cholesky.factor
     return l_full, ok1 & ok2
 
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .cholesky import cholesky_with_substitute
+from .cholesky import cholesky_with_substitute, rsolve_lower_t
 from .covariance import cross_covariance
 
 Array = jnp.ndarray
@@ -93,14 +93,14 @@ def _streamed_cholesky_impl(
             # blocked pivot substitution (128-wide inner loops; the
             # bulk of the panel stays in MXU GEMMs)
             ld = cholesky_with_substitute(diag_blk, eps, block=128)
-        t = solve_triangular(ld, s.T, lower=True).T  # (cap, block)
+        t = rsolve_lower_t(ld, s)  # (cap, block); f32: inverse-GEMM
         strip = lax.dynamic_update_slice(t, ld, (j0, 0))
         strip = jnp.where(rows_all < j0, 0.0, strip)
         return lax.dynamic_update_slice(l_acc, strip, (0, j0))
 
     l_init = jnp.zeros((cap, cap), dtype=dtype)
     l_mat = lax.fori_loop(0, num_panels, panel_step, l_init)
-    ok = jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+    ok = jnp.isfinite(jnp.sum(l_mat))  # whole factor, no temp: see ops/cholesky.factor
     return l_mat, ok
 
 

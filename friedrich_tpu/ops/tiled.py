@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .cholesky import cholesky_with_substitute
+from .cholesky import cholesky_with_substitute, lower_inverse
 
 Array = jnp.ndarray
 
@@ -60,10 +60,18 @@ def region_cholesky_inplace(m: Array, base: int, nb: int, block: int,
             ld = cholesky_with_substitute(diag, eps, block=128)
         k = lax.dynamic_update_slice(k, ld, (j0, j0))
 
+        # f32 perf path: invert the diagonal block ONCE and turn every
+        # TRSM tile in this panel into a GEMM (TPU TRSM is ~6x slower
+        # than GEMM; see ops/cholesky.rsolve_lower_t). f64 keeps TRSM.
+        ld_inv_t = lower_inverse(ld).T if dtype == jnp.float32 else None
+
         def trsm(i, k):
             i0 = base + i * block
             a = lax.dynamic_slice(k, (i0, j0), (block, block))
-            lij = solve_triangular(ld, a.T, lower=True).T
+            if ld_inv_t is None:
+                lij = solve_triangular(ld, a.T, lower=True).T
+            else:
+                lij = jnp.dot(a, ld_inv_t, preferred_element_type=dtype)
             return lax.dynamic_update_slice(k, lij, (i0, j0))
 
         k = lax.fori_loop(j + 1, nb, trsm, k)
@@ -103,7 +111,7 @@ def tiled_cholesky_inplace(k_mat: Array, eps: Optional[float] = None,
     rows = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     l_mat = jnp.where(rows >= cols, k_mat, jnp.zeros((), dtype))
-    ok = jnp.all(jnp.isfinite(jnp.diagonal(l_mat)))
+    ok = jnp.isfinite(jnp.sum(l_mat))  # whole factor, no temp: see ops/cholesky.factor
     return l_mat, ok
 
 

@@ -35,7 +35,7 @@ from jax.experimental.shard_map import shard_map
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.cholesky import _unblocked_cholesky_substitute
+from ..ops.cholesky import _unblocked_cholesky_substitute, rsolve_lower_t
 from ..ops.covariance import cross_covariance
 
 Array = jnp.ndarray
@@ -113,7 +113,7 @@ def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method)
             else:
                 ld = _unblocked_cholesky_substitute(diag_blk, eps)
 
-            t_local = solve_triangular(ld, s.T, lower=True).T
+            t_local = rsolve_lower_t(ld, s)
             # owner substitutes the factored diagonal block for its rows
             t_owner = lax.dynamic_update_slice(
                 t_local, ld, (off, jnp.zeros_like(off))
@@ -124,10 +124,10 @@ def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method)
             return lax.dynamic_update_slice(l_local, t_local, (jnp.zeros_like(j0), j0))
 
         l_local = lax.fori_loop(0, num_panels, panel_step, l_local)
-        diag_local = jnp.take_along_axis(
-            l_local, rows_global[:, None], axis=1
-        )[:, 0]
-        ok_local = jnp.all(jnp.isfinite(diag_local))
+        # whole local factor (see ops/cholesky.factor: the substitute
+        # cascade can NaN off-diagonals while the diagonal stays finite);
+        # fused sum reduction — no (rows, cap) bool temp
+        ok_local = jnp.isfinite(jnp.sum(l_local))
         ok = lax.pmin(ok_local.astype(jnp.int32), axes)
         return l_local, ok[None]
 

@@ -219,11 +219,13 @@ def test_map_fit_preserves_negative_parameter_signs():
 
     x = RNG.normal(size=(20, 2))
     y = x[:, 0] * x[:, 1] + 0.05 * RNG.normal(size=20)
-    # a negative Linear.c makes K indefinite in general; the epsilon
-    # substitution keeps the factorization defined so the test isolates the
-    # sign-preservation mechanics of the fit
+    # a negative Linear.c makes the kernel indefinite; a large noise term
+    # keeps K positive-definite so the test isolates the sign-preservation
+    # mechanics of the fit. (Round 1 used noise=0.5 + eps=1e-6 here, which
+    # silently produced a non-finite substitute factor — since round 2 the
+    # engine detects that garbage and raises CholeskyError instead.)
     kern = fk.SquaredExp(ls=1.0, ampl=1.0) + fk.Linear(c=-0.5)
-    gp = ft.GaussianProcess.new(fp.ZeroPrior(), kern, 0.5, 1e-6, x, y)
+    gp = ft.GaussianProcess.new(fp.ZeroPrior(), kern, 2.0, None, x, y)
     state = fit_map(gp.state, num_steps=30)
     params = np.asarray(state.kernel.get_params())
     assert params[2] < 0  # Linear.c stays in the negative family
