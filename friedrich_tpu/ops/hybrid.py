@@ -1,31 +1,36 @@
-"""Hybrid half-split Cholesky: the fast large-n single-chip factorization.
+"""Hybrid split Cholesky: the fast large-n single-chip factorization.
 
 The flat streamed factorization (``ops/streamed.py``) pays ~3x the
-theoretical FLOPs for static shapes. Splitting the matrix once at the top
-recovers most of that:
+theoretical FLOPs for static shapes. Splitting the matrix at the top
+recovers most of that; recursion (``levels``) splits the leading block
+again:
 
-    L11 = streamed_factor(X_1)                       (kernel-built, n/2)
-    L21 = K21 L11^-T     (per-strip loop-blocked TRSM against L11 in L)
-    S22 = K22 - L21 L21^T    (strip-built, slice-wise downdate, into L)
+    [region 0:h)    streamed panels (leaf) or recursive hybrid split
+    L21 = K21 L11^-T      per-strip sweep against the leading region
+    S22 = K22 - L21 L21^T strip-built, slice-wise downdate, in place
     L22 = right-looking tiled factorization of the S22 region IN PLACE
 
-FLOPs ~ 0.8 n^3 vs 2 n^3 flat-streamed (optimal is n^3/3). Three rules
-shape the implementation, all learned the hard way at n=50k on a 16 GB
-chip with a remote compiler:
+FLOPs ~0.8 n^3 at levels=1, ~0.65 n^3 at levels=2 (optimal n^3/3; flat
+streamed is 2 n^3). Rules learned the hard way at n=50k on a 16 GB chip
+with a remote compiler:
 
 - **No monolithic large ops**: XLA's n-sized Cholesky or a TRSM with a
-  wide RHS crashes the compiler; every step here is a fixed-size-panel
+  wide RHS crashes the compiler; every step is a fixed-size-panel
   ``fori_loop`` (constant program size).
-- **One big buffer**: the (cap, cap) factor is the only O(n^2) allocation;
-  K21/K22 strips are generated from the inputs and consumed immediately,
-  L11 is read back in slices rather than held, and the S22 region is
-  factored in place — peak HBM ~= L + one strip.
+- **One big buffer, factored IN REGION**: the (cap, cap) factor is the
+  only O(n^2) allocation. Since round 2 the leading block is factored
+  *inside* ``l_full`` (the round-1 version built a separate (h, h)
+  ``l11`` and copied it in, holding both alive — a 2.5 GB overlap at
+  n=50k that, together with the f32 inverse-GEMM buffers, pushed the
+  peak past 16 GB). K21/K22 strips are generated from the inputs and
+  consumed immediately: peak HBM ~= L + strips.
 - **Lower-triangle discipline**: region strips store only their lower
   part (diagonal tiles are mirrored before factorization since XLA's
   cholesky symmetrizes input), so no final full-matrix mask (which would
   double peak memory) is needed.
-
-Measured (v5e, f32): n=50k build+factor 1.43 s (flat streamed: 2.07 s).
+- f32 panel solves use the inverse-GEMM path (``ops/cholesky``): the
+  leading region's diagonal-block inverses are computed once per level
+  and reused across every L21 row panel.
 """
 
 from __future__ import annotations
@@ -36,65 +41,86 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from .streamed import _streamed_cholesky_impl
 
 Array = jnp.ndarray
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("treedef", "eps", "block", "method", "levels", "h"),
-)
-def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
-                 levels=1, h=None):
-    """Memory-disciplined layout: ONE (cap, cap) carry holds the factor;
-    K21/K22 are built strip-by-strip from the inputs and consumed
-    immediately, so peak HBM = L + one strip + the downdated block
-    (~L * 1.25) — n=50k f32 fits a 16 GB chip.
+def _streamed_region(kernel, x_pad, n, noise, eps, block, method, l_full, size):
+    """Left-looking streamed factorization of K(x_pad[:size]) written into
+    ``l_full[:size, :size]`` (row/col indices are absolute; no separate
+    (size, size) buffer). Mirrors ``ops/streamed._streamed_cholesky_impl``."""
+    from jax.scipy.linalg import solve_triangular
 
-    ``h`` is the static split point (first-block rows; default cap/2); both
-    ``h`` and ``cap - h`` must be multiples of ``block``."""
+    from .cholesky import cholesky_with_substitute, rsolve_lower_t
+    from .streamed import _train_cov_panel
+
+    d = x_pad.shape[1]
+    dtype = x_pad.dtype
+    x_head = lax.slice(x_pad, (0, 0), (size, d))
+    num_panels = size // block
+    rows_head = jnp.arange(size)[:, None]
+
+    def panel_step(j, l_full):
+        j0 = j * block
+        xj = lax.dynamic_slice(x_head, (j0, 0), (block, d))
+        s = _train_cov_panel(kernel, x_head, xj, j0, n, noise, block, method)
+
+        def downdate(i, s_acc):
+            i0 = i * block
+            l_strip = lax.dynamic_slice(l_full, (0, i0), (size, block))
+            l_rows = lax.dynamic_slice(l_full, (j0, i0), (block, block))
+            return s_acc - jnp.dot(
+                l_strip, l_rows.T, preferred_element_type=dtype
+            )
+
+        s = lax.fori_loop(0, j, downdate, s)
+
+        diag_blk = lax.dynamic_slice(s, (j0, 0), (block, block))
+        if eps is None:
+            ld = jnp.linalg.cholesky(diag_blk)
+        else:
+            ld = cholesky_with_substitute(diag_blk, eps, block=128)
+        t = rsolve_lower_t(ld, s)  # (size, block); f32: inverse-GEMM
+        strip = lax.dynamic_update_slice(t, ld, (j0, 0))
+        strip = jnp.where(rows_head < j0, 0.0, strip)
+        return lax.dynamic_update_slice(l_full, strip, (0, j0))
+
+    return lax.fori_loop(0, num_panels, panel_step, l_full)
+
+
+def _hybrid_region(kernel, x_pad, n, noise, eps, block, method, levels, h,
+                   l_full, size):
+    """Factor K(x_pad[:size]) into ``l_full[:size, :size]`` with a split at
+    row ``h``; the leading [0, h) region recurses (or streams at the leaf)."""
     from jax.scipy.linalg import solve_triangular
 
     from .covariance import cross_covariance
 
-    kernel = jax.tree_util.tree_unflatten(treedef, leaves)
-    cap, d = x_pad.shape
-    if h is None:
-        h = cap // 2
-    h2 = cap - h
+    d = x_pad.shape[1]
     dtype = x_pad.dtype
+    h2 = size - h
+    x1 = lax.slice(x_pad, (0, 0), (h, d))
+    x2 = lax.slice(x_pad, (h, 0), (size, d))
 
-    x1 = x_pad[:h]
-    x2 = x_pad[h:]
-
-    # L11: factor of the top-left block (live count clamped). At levels > 1
-    # the half is itself hybrid-split (recursion unrolls at trace time),
-    # shaving the streamed leaf's FLOP overhead once more per level.
-    n1 = jnp.minimum(n, h)
+    # leading region: recurse (levels unroll at trace time) or stream
     if levels > 1 and h % 2 == 0 and (h // 2) % block == 0:
-        l11, ok1 = _hybrid_impl(
-            leaves, treedef, x1, n1, noise, eps, block, method, levels - 1
+        l_full = _hybrid_region(
+            kernel, x_pad, n, noise, eps, block, method, levels - 1,
+            h // 2, l_full, h,
         )
     else:
-        l11, ok1 = _streamed_cholesky_impl(
-            leaves, treedef, x1, n1, noise, eps, block, method
+        l_full = _streamed_region(
+            kernel, x_pad, n, noise, eps, block, method, l_full, h
         )
-    l_full = jnp.zeros((cap, cap), dtype=dtype)
-    l_full = lax.dynamic_update_slice(l_full, l11, (0, 0))
 
-    del l11
-
-    # L21 rows are independent: per row-panel of the second half, build the
-    # K21 strip from the inputs, forward-sweep it against L11 (read back in
-    # small slices from l_full — L11 is never held separately), write into L.
     cols1 = jnp.arange(h)[None, :]
     num_panels2 = h2 // block
     num_panels1 = h // block
 
-    # f32 perf path: invert L11's diagonal blocks ONCE (h/B small TRSMs),
-    # so every forward-sweep step across ALL h2/B row panels is a GEMM —
-    # TPU TRSM is ~6x slower than same-shape GEMM (ops/cholesky.rsolve_lower_t).
+    # f32 perf path: invert the leading region's diagonal blocks ONCE
+    # (h/B small TRSMs), so every forward-sweep step across ALL h2/B row
+    # panels is a GEMM — TPU TRSM is ~6x slower than a same-shape GEMM
+    # (ops/cholesky.rsolve_lower_t).
     if dtype == jnp.float32:
         from .cholesky import lower_inverse
 
@@ -136,14 +162,14 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
                 yj = jnp.dot(inv_jj, r, preferred_element_type=dtype)
             return lax.dynamic_update_slice(y, yj, (j0, zz))
 
-        y = lax.fori_loop(0, h // block, fwd, jnp.zeros((h, block), dtype))
+        y = lax.fori_loop(0, num_panels1, fwd, jnp.zeros((h, block), dtype))
         return lax.dynamic_update_slice(l_full, y.T, (h + r0, z))
 
     l_full = lax.fori_loop(0, num_panels2, l21_panel, l_full)
 
     # S22 = K22 (+noise^2 I / identity padding) - L21 L21^T, column strips
-    # written DIRECTLY into l_full[h:, h:] (no separate h x h buffer); the
-    # downdate contracts small slices of L21 from l_full.
+    # written DIRECTLY into l_full[h:size, h:size]; the downdate contracts
+    # small slices of L21 from l_full.
     rows2 = h + jnp.arange(h2)[:, None]
 
     def s22_panel(j, l_full):
@@ -165,7 +191,7 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
                 l_all_k, l_cols_k.T, preferred_element_type=dtype
             )
 
-        strip = lax.fori_loop(0, h // block, downdate, strip)
+        strip = lax.fori_loop(0, num_panels1, downdate, strip)
         # write only the lower part of the region column strip: the later
         # in-place factorization touches lower tiles only, and this keeps
         # l_full exactly lower-triangular without a final full-matrix mask
@@ -175,15 +201,37 @@ def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
 
     l_full = lax.fori_loop(0, num_panels2, s22_panel, l_full)
 
-    # L22: MAC-optimal tiled factorization of the S22 region IN PLACE inside
-    # l_full (shared tile loop with the `tiled` backend; mirror_diag because
-    # the region strips store the lower half only).
+    # L22: MAC-optimal tiled factorization of the S22 region IN PLACE
+    # (shared tile loop with the `tiled` backend; mirror_diag because the
+    # region strips store the lower half only).
     from .tiled import region_cholesky_inplace
 
-    l_full = region_cholesky_inplace(l_full, h, h2 // block, block, eps, True)
+    return region_cholesky_inplace(l_full, h, h2 // block, block, eps, True)
 
-    ok2 = jnp.isfinite(jnp.sum(l_full))  # whole factor, no temp: see ops/cholesky.factor
-    return l_full, ok1 & ok2
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("treedef", "eps", "block", "method", "levels", "h"),
+)
+def _hybrid_impl(leaves, treedef, x_pad, n, noise, eps, block, method,
+                 levels=1, h=None):
+    """Memory-disciplined layout: ONE (cap, cap) buffer holds the factor
+    end to end (leading region factored in place — no separate l11);
+    K21/K22 are built strip-by-strip from the inputs and consumed
+    immediately, so peak HBM ~= L + strips — n=50k f32 fits a 16 GB chip.
+
+    ``h`` is the static split point (first-block rows; default cap/2); both
+    ``h`` and ``cap - h`` must be multiples of ``block``."""
+    kernel = jax.tree_util.tree_unflatten(treedef, leaves)
+    cap = x_pad.shape[0]
+    if h is None:
+        h = cap // 2
+    l_full = jnp.zeros((cap, cap), dtype=x_pad.dtype)
+    l_full = _hybrid_region(
+        kernel, x_pad, n, noise, eps, block, method, levels, h, l_full, cap
+    )
+    ok = jnp.isfinite(jnp.sum(l_full))  # whole factor, no temp
+    return l_full, ok
 
 
 def hybrid_cholesky_factor(

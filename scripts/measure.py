@@ -68,40 +68,48 @@ def exp_factor(args):
     x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
     method = "gram_bf16" if args.dtype == "bf16" else "gram"
     backend = args.backend
+
+    # reduce the (cap, cap) factor to a SCALAR inside jit (like bench.py):
+    # returning/holding the 10 GB factor across timed repeats keeps two
+    # factors alive at once and OOMs a 16 GB chip
+    def _scalarize(pair):
+        l_mat, ok = pair
+        return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
+
     try:
         if backend == "hybrid":
             from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
 
             f = jax.jit(
-                lambda x: hybrid_cholesky_factor(
+                lambda x: _scalarize(hybrid_cholesky_factor(
                     kern, x, n, noise, block=args.block, levels=args.levels,
                     method=method,
-                )[0]
+                ))
             )
         elif backend == "streamed":
             from friedrich_tpu.ops.streamed import streamed_cholesky_factor
 
             f = jax.jit(
-                lambda x: streamed_cholesky_factor(
+                lambda x: _scalarize(streamed_cholesky_factor(
                     kern, x, n, noise, block=args.block, method=method
-                )[0]
+                ))
             )
         elif backend == "tiled":
             from friedrich_tpu.ops.tiled import tiled_cholesky_factor
 
             f = jax.jit(
-                lambda x: tiled_cholesky_factor(
+                lambda x: _scalarize(tiled_cholesky_factor(
                     kern, x, n, noise, block=args.block, method=method
-                )[0]
+                ))
             )
         else:
             from friedrich_tpu.ops.covariance import train_covariance_padded
             from friedrich_tpu.ops.cholesky import factor
 
             f = jax.jit(
-                lambda x: factor(
+                lambda x: _scalarize(factor(
                     train_covariance_padded(kern, x, n, noise, method=method)
-                )[0]
+                ))
             )
         t = timeit(f, x, r=args.repeats)
         emit(
