@@ -36,12 +36,16 @@ def build_and_factor_fn(n: int):
     """
     from friedrich_tpu.ops.cholesky import cholesky
     from friedrich_tpu.ops.covariance import cross_covariance
-    from friedrich_tpu.ops.hybrid import hybrid_cholesky_factor
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
 
     if n > 32768:
 
         def run(kernel, x, noise):
-            l_mat, ok = hybrid_cholesky_factor(kernel, x, n, noise, block=2500, levels=2)
+            # trace-time-unrolled streamed build+factor: FLOP-optimal
+            # (~0.39 n^3) and single-L-buffer peak memory (ops/streamed.py)
+            l_mat, ok = streamed_cholesky_factor(
+                kernel, x, n, noise, block=5000, unroll=True
+            )
             return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
 
     else:

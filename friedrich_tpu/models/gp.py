@@ -88,8 +88,8 @@ def pad_capacity(x: Array, y_resid: Array, cap: int) -> tuple[Array, Array]:
     return x_pad, r_pad
 
 
-#: "auto" backend switches from dense to the hybrid factorizer here.
-_AUTO_HYBRID_THRESHOLD = 8192
+#: "auto" backend switches from dense to the large-n factorizer here.
+_AUTO_LARGE_THRESHOLD = 8192
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
@@ -101,12 +101,10 @@ def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
 
 def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend):
     if backend == "auto":
-        cap = x_pad.shape[0]
-        backend = (
-            "hybrid"
-            if cap > _AUTO_HYBRID_THRESHOLD and cap % 2 == 0
-            else "dense"
-        )
+        # Above the dense threshold the trace-time-unrolled streamed
+        # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
+        # and peak HBM (single L buffer) — see ops/streamed.py.
+        backend = "streamed" if x_pad.shape[0] > _AUTO_LARGE_THRESHOLD else "dense"
     if backend == "streamed":
         from ..ops.streamed import streamed_cholesky_factor
 

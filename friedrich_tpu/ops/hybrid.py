@@ -1,6 +1,10 @@
-"""Hybrid split Cholesky: the fast large-n single-chip factorization.
+"""Hybrid split Cholesky (superseded at large n by the trace-time-unrolled
+streamed factorizer, ``ops/streamed.py:_streamed_unrolled_impl``, which
+reaches ~0.39 n^3 FLOPs with a single-L-buffer peak — this module's split
+approach tops out at ~0.65 n^3 with a 2x-L peak that exceeds a 16 GB chip
+at n=50k f32; kept for the mid-size regime and as the `hybrid` backend).
 
-The flat streamed factorization (``ops/streamed.py``) pays ~3x the
+The flat fori_loop streamed factorization pays ~3x the
 theoretical FLOPs for static shapes. Splitting the matrix at the top
 recovers most of that; recursion (``levels``) splits the leading block
 again:

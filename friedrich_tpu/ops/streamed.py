@@ -104,6 +104,99 @@ def _streamed_cholesky_impl(
     return l_mat, ok
 
 
+def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
+    """The (cap - j0, B) TAIL of a training-covariance column strip (rows
+    j0..cap): kernel evals + noise^2 diagonal on the live block, identity
+    padding.  ``j0`` is a static trace-time offset."""
+    rest = x_tail.shape[0]
+    k = cross_covariance(kernel, x_tail, xj, method=method)
+    rows = j0 + jnp.arange(rest)[:, None]
+    cols = j0 + jnp.arange(block)[None, :]
+    diag = rows == cols
+    k = k + jnp.where(diag, noise * noise, 0.0)
+    live = (rows < n) & (cols < n)
+    eye = jnp.where(diag, 1.0, 0.0).astype(k.dtype)
+    return jnp.where(live, k, eye)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("treedef", "block", "method", "eps")
+)
+def _streamed_unrolled_impl(
+    leaves, treedef, x_pad, n, noise, eps, block, method
+):
+    """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
+    time, so every column strip has a STATIC height ``cap - j0``.
+
+    Two wins over the ``fori_loop`` version above, both direct
+    consequences of static triangular shapes:
+
+    - **FLOPs**: downdates touch only rows at/below the panel —
+      sum_j (cap - jB) * B * jB = n^3/6 MACs, the Cholesky optimum (the
+      fori version's fixed full-height strips cost 3x that). Total with
+      the panel solves ~0.39 n^3 FLOPs vs optimal 0.33 n^3.
+    - **Memory**: the (cap, cap) factor is never carried by a ``while``
+      loop — it flows through a chain of static-offset
+      ``dynamic_update_slice`` ops (aliased in place by XLA) and is read
+      as a loop invariant by the inner downdate loops. Peak HBM = L + one
+      tail strip. The fori variants keep a second live copy of the factor
+      at loop boundaries, which is exactly what pushed the 2x-L hybrid
+      past a 16 GB chip at n=50k f32.
+
+    Program size grows linearly with cap/block (one body per panel);
+    callers cap the panel count (``MAX_UNROLL_PANELS``) to keep the
+    remote TPU compiler comfortable.
+    """
+    kernel = jax.tree_util.tree_unflatten(treedef, leaves)
+    cap, d = x_pad.shape
+    num_panels = cap // block
+    dtype = x_pad.dtype
+
+    l_full = jnp.zeros((cap, cap), dtype=dtype)
+    for j in range(num_panels):  # trace-time unroll: j0/rest are static
+        j0 = j * block
+        rest = cap - j0
+        xj = lax.slice(x_pad, (j0, 0), (j0 + block, d))
+        x_tail = lax.slice(x_pad, (j0, 0), (cap, d))
+        strip = _train_cov_panel_tail(
+            kernel, x_tail, xj, j0, n, noise, block, method
+        )
+
+        if j > 0:
+
+            def downdate(i, acc, j0=j0, rest=rest):
+                i0 = i * block
+                l_tail = lax.dynamic_slice(l_full, (j0, i0), (rest, block))
+                l_rows = lax.dynamic_slice(l_full, (j0, i0), (block, block))
+                return acc - jnp.dot(
+                    l_tail, l_rows.T, preferred_element_type=dtype
+                )
+
+            strip = lax.fori_loop(0, j, downdate, strip)
+
+        diag_blk = lax.slice(strip, (0, 0), (block, block))
+        if eps is None:
+            ld = jnp.linalg.cholesky(diag_blk)
+        else:
+            ld = cholesky_with_substitute(diag_blk, eps, block=128)
+        if rest > block:
+            below = rsolve_lower_t(
+                ld, lax.slice(strip, (block, 0), (rest, block))
+            )
+            panel_out = jnp.concatenate([ld, below], axis=0)
+        else:
+            panel_out = ld
+        l_full = lax.dynamic_update_slice(l_full, panel_out, (j0, j0))
+
+    ok = jnp.isfinite(jnp.sum(l_full))  # whole factor, no temp
+    return l_full, ok
+
+
+# Above this many panels the unrolled program is large enough to stress the
+# remote TPU compiler; fall back to the constant-size fori_loop program.
+MAX_UNROLL_PANELS = 64
+
+
 def streamed_cholesky_factor(
     kernel,
     x_pad: Array,
@@ -112,19 +205,28 @@ def streamed_cholesky_factor(
     eps: Optional[float] = None,
     block: int = DEFAULT_PANEL,
     method: str = "gram",
+    unroll: Optional[bool] = None,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
     Drop-in for ``train_covariance_padded`` + ``factor``; requires
     ``capacity % block == 0`` (callers pick block accordingly; any block
     that divides capacity works, smaller than 128 wastes the MXU).
+
+    ``unroll=None`` (default) picks the trace-time-unrolled FLOP-optimal
+    program when the panel count permits (:data:`MAX_UNROLL_PANELS`),
+    else the constant-size ``fori_loop`` program; pass True/False to
+    force.
     """
     from .partition import pick_block
 
     cap = x_pad.shape[0]
     block = pick_block(cap, block)
+    if unroll is None:
+        unroll = cap // block <= MAX_UNROLL_PANELS
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
-    return _streamed_cholesky_impl(
+    impl = _streamed_unrolled_impl if unroll else _streamed_cholesky_impl
+    return impl(
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
         jnp.asarray(noise, x_pad.dtype), eps, block, method,
     )
