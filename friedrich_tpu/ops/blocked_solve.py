@@ -3,20 +3,28 @@
 XLA's monolithic ``solve_triangular`` with a large triangular factor AND a
 wide right-hand side produces a huge unrolled program that crashes the
 remote TPU compiler (same failure mode as the monolithic Cholesky at
-n=50k). These versions sweep fixed-size row panels inside a ``fori_loop``
-— constant program size, all work in MXU GEMMs:
+n=50k). Two program shapes, both sweeping fixed-size row panels:
 
   forward :  y_j = Ld_j^-1 (c_j - L[j, :j] y[:j])
   backward:  x_j = Ld_j^-T (c_j - L[j+1:, j]^T x[j+1:])
 
-The off-panel contraction uses masked full-width GEMMs (2x theoretical
-FLOPs for static shapes — same trade as the streamed factorization).
+- ``fori_loop`` version: constant program size; the off-panel contraction
+  uses masked full-width GEMMs (2x theoretical FLOPs for static shapes).
+- Trace-time-UNROLLED version (default when the panel count permits,
+  mirroring ``ops/streamed._streamed_unrolled_impl``): every off-panel
+  contraction has a STATIC triangular width, hitting the theoretical
+  n^2 m MAC count, and the f32 path replaces each diagonal TRSM with one
+  small inverse + GEMM (TPU TRSM is ~6x slower than a same-shape GEMM —
+  BASELINE.md round-2 diagnostics). f64 keeps back-substitution for
+  bit-stable parity with the reference oracles.
+
 Used by the hybrid factorizer and the large-n predict paths.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +34,10 @@ from jax.scipy.linalg import solve_triangular
 from .partition import pick_block as _pick_block
 
 Array = jnp.ndarray
+
+#: Above this many panels the unrolled program is large enough to stress
+#: the remote TPU compiler; fall back to the fori_loop program.
+MAX_UNROLL_PANELS = 64
 
 
 @functools.partial(jax.jit, static_argnames=("block", "transposed"))
@@ -70,22 +82,86 @@ def _blocked_solve(l_mat: Array, c: Array, block: int, transposed: bool) -> Arra
     return lax.fori_loop(0, num, panel, jnp.zeros((n, m), dtype))
 
 
-def blocked_solve_lower(l_mat: Array, c: Array, block: int = 2048) -> Array:
+@functools.partial(jax.jit, static_argnames=("block", "transposed"))
+def _blocked_solve_unrolled(
+    l_mat: Array, c: Array, block: int, transposed: bool
+) -> Array:
+    """Trace-time-unrolled panel sweep: static triangular widths (the
+    theoretical MAC count) and, on f32, inverse-GEMM diagonal solves."""
+    from .cholesky import lower_inverse
+
+    n = l_mat.shape[0]
+    m = c.shape[1]
+    num = n // block
+    dtype = c.dtype
+    f32 = dtype == jnp.float32
+
+    def diag_solve(ld, rhs, trans):
+        if f32:
+            inv = lower_inverse(ld)
+            a = inv.T if trans else inv
+            return jnp.dot(a, rhs, preferred_element_type=dtype)
+        return solve_triangular(ld, rhs, lower=True, trans=1 if trans else 0)
+
+    y = jnp.zeros((n, m), dtype)
+    if not transposed:
+        for j in range(num):  # trace-time unroll: all offsets static
+            j0 = j * block
+            rhs = lax.slice(c, (j0, 0), (j0 + block, m))
+            if j > 0:
+                l_left = lax.slice(l_mat, (j0, 0), (j0 + block, j0))
+                y_done = lax.slice(y, (0, 0), (j0, m))
+                rhs = rhs - jnp.dot(
+                    l_left, y_done, preferred_element_type=dtype
+                )
+            ld = lax.slice(l_mat, (j0, j0), (j0 + block, j0 + block))
+            yj = diag_solve(ld, rhs, trans=False)
+            y = lax.dynamic_update_slice(y, yj, (j0, 0))
+        return y
+
+    for t in range(num):
+        j = num - 1 - t
+        j0 = j * block
+        rhs = lax.slice(c, (j0, 0), (j0 + block, m))
+        if j < num - 1:
+            b0 = j0 + block
+            l_below = lax.slice(l_mat, (b0, j0), (n, j0 + block))
+            x_done = lax.slice(y, (b0, 0), (n, m))
+            rhs = rhs - jnp.dot(
+                l_below.T, x_done, preferred_element_type=dtype
+            )
+        ld = lax.slice(l_mat, (j0, j0), (j0 + block, j0 + block))
+        xj = diag_solve(ld, rhs, trans=True)
+        y = lax.dynamic_update_slice(y, xj, (j0, 0))
+    return y
+
+
+def _solve(l_mat: Array, c: Array, block: int, transposed: bool,
+           unroll: Optional[bool]) -> Array:
+    c2 = c if c.ndim == 2 else c[:, None]
+    b = _pick_block(l_mat.shape[0], block)
+    if unroll is None:
+        unroll = l_mat.shape[0] // b <= MAX_UNROLL_PANELS
+    impl = _blocked_solve_unrolled if unroll else _blocked_solve
+    y = impl(l_mat, c2, b, transposed)
+    return y if c.ndim == 2 else y[:, 0]
+
+
+def blocked_solve_lower(l_mat: Array, c: Array, block: int = 2048,
+                        unroll: Optional[bool] = None) -> Array:
     """Solve ``L y = c`` (lower-triangular L) with panel sweeps."""
-    c2 = c if c.ndim == 2 else c[:, None]
-    b = _pick_block(l_mat.shape[0], block)
-    y = _blocked_solve(l_mat, c2, b, False)
-    return y if c.ndim == 2 else y[:, 0]
+    return _solve(l_mat, c, block, False, unroll)
 
 
-def blocked_solve_lower_t(l_mat: Array, c: Array, block: int = 2048) -> Array:
+def blocked_solve_lower_t(l_mat: Array, c: Array, block: int = 2048,
+                          unroll: Optional[bool] = None) -> Array:
     """Solve ``L^T x = c`` with panel sweeps."""
-    c2 = c if c.ndim == 2 else c[:, None]
-    b = _pick_block(l_mat.shape[0], block)
-    y = _blocked_solve(l_mat, c2, b, True)
-    return y if c.ndim == 2 else y[:, 0]
+    return _solve(l_mat, c, block, True, unroll)
 
 
-def blocked_cho_solve(l_mat: Array, c: Array, block: int = 2048) -> Array:
+def blocked_cho_solve(l_mat: Array, c: Array, block: int = 2048,
+                      unroll: Optional[bool] = None) -> Array:
     """``(L L^T)^-1 c`` via the two sweeps."""
-    return blocked_solve_lower_t(l_mat, blocked_solve_lower(l_mat, c, block), block)
+    return blocked_solve_lower_t(
+        l_mat, blocked_solve_lower(l_mat, c, block, unroll), block, unroll
+    )

@@ -169,16 +169,23 @@ def exp_predict(args):
         l_mat, _ = jax.jit(
             lambda x: streamed_cholesky_factor(kern, x, n, noise, block=2048)
         )(x)
+        jax.block_until_ready(l_mat)
+        emit(exp="predict_setup", n=n, stage="factor materialized")
         xq = jnp.asarray(rng.normal(size=(m, args.d)), dtype)
         resid = jnp.asarray(rng.normal(size=(n,)), dtype)
 
+        from friedrich_tpu.ops.blocked_solve import (
+            blocked_solve_lower,
+            blocked_solve_lower_t,
+        )
+
         @jax.jit
         def predict(l_mat, x, resid, xq):
-            from jax.scipy.linalg import solve_triangular
-
+            # the library's actual large-n predict path (models/gp.py):
+            # loop-blocked sweeps, unrolled static-width panels on f32
             c = cross_covariance_train_padded(kern, x, n, xq)
-            kl = solve_triangular(l_mat, c, lower=True)
-            w = solve_triangular(l_mat, kl, lower=True, trans=1)
+            kl = blocked_solve_lower(l_mat, c)
+            w = blocked_solve_lower_t(l_mat, kl)
             return w.T @ resid, kernel_diag(kern, xq) - jnp.sum(kl * kl, axis=0)
 
         t = timeit(predict, l_mat, x, resid, xq, r=args.repeats)

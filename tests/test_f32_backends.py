@@ -33,6 +33,18 @@ def _setup(n=256, d=4):
 
 BACKENDS = [
     ("streamed", lambda k, x, n, s: streamed_cholesky_factor(k, x, n, s, block=32)),
+    (
+        "streamed-unrolled",
+        lambda k, x, n, s: streamed_cholesky_factor(
+            k, x, n, s, block=32, unroll=True
+        ),
+    ),
+    (
+        "streamed-fori",
+        lambda k, x, n, s: streamed_cholesky_factor(
+            k, x, n, s, block=32, unroll=False
+        ),
+    ),
     ("tiled", lambda k, x, n, s: tiled_cholesky_factor(k, x, n, s, block=32)),
     ("hybrid", lambda k, x, n, s: hybrid_cholesky_factor(k, x, n, s, block=32)),
     (

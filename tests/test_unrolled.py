@@ -1,0 +1,94 @@
+"""Trace-time-unrolled panel programs vs their fori_loop twins.
+
+The unrolled streamed factorizer and unrolled blocked solves
+(``ops/streamed.py``, ``ops/blocked_solve.py``) are the round-2 large-n
+performance paths: static triangular shapes reach the theoretical MAC
+count and keep the factor out of every ``while``-loop carry (single-L
+peak memory — the property that lets n=50k f32 fit a 16 GB chip).
+These tests pin them against the constant-size fori_loop programs and
+NumPy f64 oracles, on both dtypes and through the eps-substitute path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import friedrich_tpu.kernels as fk
+from friedrich_tpu.ops.blocked_solve import (
+    blocked_cho_solve,
+    blocked_solve_lower,
+    blocked_solve_lower_t,
+)
+from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+RNG = np.random.default_rng(7)
+
+
+def _factor_pair(cap, n, block, eps=None, dtype=jnp.float32):
+    x = jnp.asarray(RNG.normal(size=(cap, 3)), dtype)
+    kern = fk.Matern2(ls=dtype(1.1), ampl=dtype(0.8))
+    noise = dtype(0.4)
+    lu, oku = streamed_cholesky_factor(
+        kern, x, n, noise, eps=eps, block=block, unroll=True
+    )
+    lf, okf = streamed_cholesky_factor(
+        kern, x, n, noise, eps=eps, block=block, unroll=False
+    )
+    return lu, oku, lf, okf
+
+
+@pytest.mark.parametrize("cap,n", [(64, 64), (96, 70)])
+def test_unrolled_factor_matches_fori(cap, n):
+    lu, oku, lf, okf = _factor_pair(cap, n, block=16)
+    assert bool(oku) and bool(okf)
+    np.testing.assert_array_equal(np.asarray(lu), np.asarray(lf))
+
+
+def test_unrolled_factor_eps_path_matches_fori():
+    lu, oku, lf, okf = _factor_pair(64, 50, block=16, eps=1e-4)
+    assert bool(oku) and bool(okf)
+    np.testing.assert_array_equal(np.asarray(lu), np.asarray(lf))
+
+
+def test_unrolled_factor_single_panel():
+    # cap == block: the degenerate no-below-rows case
+    lu, oku, lf, okf = _factor_pair(32, 32, block=32)
+    assert bool(oku) and bool(okf)
+    np.testing.assert_array_equal(np.asarray(lu), np.asarray(lf))
+
+
+def _spd_factor(n, dtype):
+    a = RNG.normal(size=(n, n))
+    spd = a @ a.T + n * np.eye(n)
+    return jnp.asarray(np.linalg.cholesky(spd), dtype), spd
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.float64, 1e-12)])
+def test_unrolled_solves_match_numpy(dtype, tol):
+    n, m, b = 96, 5, 16
+    l_mat, spd = _spd_factor(n, dtype)
+    c = jnp.asarray(RNG.normal(size=(n, m)), dtype)
+    l64 = np.asarray(l_mat, np.float64)
+    c64 = np.asarray(c, np.float64)
+    for unroll in (True, False):
+        yf = blocked_solve_lower(l_mat, c, block=b, unroll=unroll)
+        yt = blocked_solve_lower_t(l_mat, c, block=b, unroll=unroll)
+        np.testing.assert_allclose(
+            np.asarray(yf, np.float64), np.linalg.solve(l64, c64), atol=tol
+        )
+        np.testing.assert_allclose(
+            np.asarray(yt, np.float64), np.linalg.solve(l64.T, c64), atol=tol
+        )
+
+
+def test_unrolled_cho_solve_1d_rhs():
+    n, b = 64, 16
+    l_mat, spd = _spd_factor(n, jnp.float64)
+    c = jnp.asarray(RNG.normal(size=n), jnp.float64)
+    got = blocked_cho_solve(l_mat, c, block=b, unroll=True)
+    want = np.linalg.solve(
+        np.asarray(l_mat, np.float64) @ np.asarray(l_mat, np.float64).T,
+        np.asarray(c, np.float64),
+    )
+    assert got.shape == (n,)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
