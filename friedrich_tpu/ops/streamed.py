@@ -148,11 +148,33 @@ def _streamed_unrolled_impl(
     remote TPU compiler comfortable.
     """
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
+    l_full = jnp.zeros((x_pad.shape[0],) * 2, dtype=x_pad.dtype)
+    return _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("treedef", "block", "method", "eps"),
+    donate_argnums=(8,),
+)
+def _streamed_unrolled_donate(
+    leaves, treedef, x_pad, n, noise, eps, block, method, l0
+):
+    """Host-level entry: the caller allocates the (cap, cap) zeros buffer
+    and DONATES it, so the returned factor aliases that buffer. Without
+    donation XLA materializes the update-slice chain's result into a
+    separate output buffer — a second live L that OOMs a 16 GB chip at
+    n=50k f32 (measured; the fori_loop program's while-carry does get
+    output-aliased, the unrolled chain's result does not)."""
+    kernel = jax.tree_util.tree_unflatten(treedef, leaves)
+    return _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l0)
+
+
+def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full):
     cap, d = x_pad.shape
     num_panels = cap // block
     dtype = x_pad.dtype
 
-    l_full = jnp.zeros((cap, cap), dtype=dtype)
     for j in range(num_panels):  # trace-time unroll: j0/rest are static
         j0 = j * block
         rest = cap - j0
@@ -164,7 +186,7 @@ def _streamed_unrolled_impl(
 
         if j > 0:
 
-            def downdate(i, acc, j0=j0, rest=rest):
+            def downdate(i, acc, j0=j0, rest=rest, l_full=l_full):
                 i0 = i * block
                 l_tail = lax.dynamic_slice(l_full, (j0, i0), (rest, block))
                 l_rows = lax.dynamic_slice(l_full, (j0, i0), (block, block))
@@ -225,8 +247,15 @@ def streamed_cholesky_factor(
     if unroll is None:
         unroll = cap // block <= MAX_UNROLL_PANELS
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
-    impl = _streamed_unrolled_impl if unroll else _streamed_cholesky_impl
-    return impl(
+    args = (
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
         jnp.asarray(noise, x_pad.dtype), eps, block, method,
     )
+    if not unroll:
+        return _streamed_cholesky_impl(*args)
+    if isinstance(x_pad, jax.core.Tracer):
+        # inside an outer jit the call inlines (donation is meaningless
+        # and the result is a temp, which XLA aliases in place anyway)
+        return _streamed_unrolled_impl(*args)
+    l0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
+    return _streamed_unrolled_donate(*args, l0)
