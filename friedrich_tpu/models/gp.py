@@ -92,14 +92,16 @@ def pad_capacity(x: Array, y_resid: Array, cap: int) -> tuple[Array, Array]:
 _AUTO_LARGE_THRESHOLD = 8192
 
 
-def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend):
+def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend,
+                  l0=None):
     with jax.named_scope(f"gp/build_factor[{backend}]"):
         return _build_factor_impl(
-            kernel, x_pad, n_arr, noise, eps, method, backend
+            kernel, x_pad, n_arr, noise, eps, method, backend, l0
         )
 
 
-def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend):
+def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
+                       l0=None):
     if backend == "auto":
         # Above the dense threshold the trace-time-unrolled streamed
         # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
@@ -109,7 +111,7 @@ def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend):
         from ..ops.streamed import streamed_cholesky_factor
 
         return streamed_cholesky_factor(
-            kernel, x_pad, n_arr, noise, eps=eps, method=method
+            kernel, x_pad, n_arr, noise, eps=eps, method=method, l0=l0
         )
     if backend == "tiled":
         from ..ops.tiled import tiled_cholesky_factor
@@ -173,12 +175,19 @@ def make_state(
     return state, ok
 
 
-def rebuild_cholesky(state: GPState) -> tuple[GPState, Array]:
+def rebuild_cholesky(state: GPState,
+                     reuse_buffer: bool = False) -> tuple[GPState, Array]:
     """Re-factor the training covariance for the current hyperparameters
-    (the per-iteration rebuild at ``optimizer.rs:133-136,267-270``)."""
+    (the per-iteration rebuild at ``optimizer.rs:133-136,267-270``).
+
+    ``reuse_buffer=True`` donates the CURRENT factor's buffer as the new
+    factor's workspace on host-level streamed-unrolled rebuilds (the old
+    ``state`` must not be used afterwards) — avoids holding old + new L
+    at once, which would double peak HBM at large n."""
     l_pad, ok = _build_factor(
         state.kernel, state.x, state.n, state.noise, state.eps, state.method,
         state.backend,
+        l0=state.l if reuse_buffer else None,
     )
     return state.replace(l=l_pad), ok
 

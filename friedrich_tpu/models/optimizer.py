@@ -244,7 +244,12 @@ def fit_parameters(
     if fit_prior:
         state = fit_prior_padded(state)
         if not fit_kernel:
-            state, ok = rebuild_cholesky(state)
+            # host-level rebuild: donate the old factor's buffer so old
+            # and new L never coexist (2x peak HBM at large n). On a
+            # failed rebuild the donated state is unrecoverable — same
+            # effective contract as the reference, which panics here
+            # (algebra/mod.rs:90).
+            state, ok = rebuild_cholesky(state, reuse_buffer=True)
             if not bool(ok):
                 raise CholeskyError()
     if fit_kernel:

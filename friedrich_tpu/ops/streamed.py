@@ -228,6 +228,7 @@ def streamed_cholesky_factor(
     block: int = DEFAULT_PANEL,
     method: str = "gram",
     unroll: Optional[bool] = None,
+    l0: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -239,6 +240,14 @@ def streamed_cholesky_factor(
     program when the panel count permits (:data:`MAX_UNROLL_PANELS`),
     else the constant-size ``fori_loop`` program; pass True/False to
     force.
+
+    ``l0``: optional (cap, cap) buffer to DONATE as the factor's
+    workspace on host-level unrolled calls (e.g. the previous factor
+    during a hyperparameter-fit rebuild — every lower-triangle entry is
+    overwritten and the strict upper triangle must already be zero, which
+    holds for any factor this function produced). The caller must not use
+    the donated array afterwards. Avoids holding old + new L at once
+    (2x10 GB at n=50k f32).
     """
     from .partition import pick_block
 
@@ -257,5 +266,6 @@ def streamed_cholesky_factor(
         # inside an outer jit the call inlines (donation is meaningless
         # and the result is a temp, which XLA aliases in place anyway)
         return _streamed_unrolled_impl(*args)
-    l0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
+    if l0 is None or isinstance(l0, jax.core.Tracer):
+        l0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
     return _streamed_unrolled_donate(*args, l0)

@@ -166,9 +166,10 @@ def exp_predict(args):
     n, m = args.n, args.m
     x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
     try:
-        l_mat, _ = jax.jit(
-            lambda x: streamed_cholesky_factor(kern, x, n, noise, block=2048)
-        )(x)
+        # host-level call (no outer jit): the unrolled factorizer donates
+        # its output buffer only when called with concrete arrays — an
+        # outer jit would reintroduce the 2x-L output copy and OOM at 50k
+        l_mat, _ = streamed_cholesky_factor(kern, x, n, noise, block=2048)
         jax.block_until_ready(l_mat)
         emit(exp="predict_setup", n=n, stage="factor materialized")
         xq = jnp.asarray(rng.normal(size=(m, args.d)), dtype)
