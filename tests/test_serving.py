@@ -1,0 +1,122 @@
+"""End-to-end serving subsystem: bundle export -> C++ daemon -> client.
+
+Builds the real ``friedrich_served`` binary, starts it on a free port,
+and checks the served posterior against the in-process model. The daemon
+is killed by its exact PID (GPServer.close) — never by pattern.
+"""
+
+import numpy as np
+import pytest
+
+import friedrich_tpu as ft
+import friedrich_tpu.kernels as fk
+import friedrich_tpu.priors as fp
+from friedrich_tpu import serving
+from friedrich_tpu.native import NativeGP
+
+RNG = np.random.default_rng(3)
+
+
+def _trained_gp(kernel=None, prior=None, n=40, d=3):
+    x = RNG.normal(size=(n, d))
+    y = np.sin(x[:, 0]) + 0.1 * RNG.normal(size=n)
+    return (
+        ft.GaussianProcess.new(
+            prior or fp.ConstantPrior(0.3),
+            kernel or fk.SquaredExp(1.2, 0.9),
+            0.25,
+            None,
+            x,
+            y,
+        ),
+        x,
+        y,
+    )
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    gp, x, y = _trained_gp()
+    bundle = tmp_path_factory.mktemp("serving") / "model.frsv"
+    serving.export_bundle(gp, bundle)
+    with serving.GPServer(bundle) as srv:
+        with serving.GPClient(port=srv.port) as client:
+            yield gp, client
+
+
+def test_served_matches_in_process(served):
+    gp, client = served
+    xq = RNG.normal(size=(17, 3))
+    mean, var = client.predict_mean_variance(xq)
+    want_mean, want_var = gp.predict_mean_variance(xq)
+    # same factor/residuals; daemon solves in f64 vs the model's f32
+    np.testing.assert_allclose(mean, np.asarray(want_mean), atol=5e-4)
+    np.testing.assert_allclose(var, np.asarray(want_var), atol=5e-4)
+
+
+def test_served_mean_only(served):
+    gp, client = served
+    xq = RNG.normal(size=(5, 3))
+    mean = client.predict(xq)
+    np.testing.assert_allclose(
+        mean, np.asarray(gp.predict(xq)), atol=5e-4
+    )
+
+
+def test_served_multiple_requests_one_connection(served):
+    gp, client = served
+    for m in (1, 8, 3):
+        xq = RNG.normal(size=(m, 3))
+        mean, var = client.predict_mean_variance(xq)
+        assert mean.shape == (m,) and var.shape == (m,)
+        assert np.all(np.isfinite(mean)) and np.all(var > 0)
+
+
+def test_served_dim_mismatch_rejected(served):
+    gp, client = served
+    with pytest.raises(ft.ConfigError):
+        client.predict(RNG.normal(size=(4, 5)))  # trained with d=3
+
+
+def test_served_matches_native_oracle_f64(tmp_path):
+    """Against the independent f64 NativeGP oracle, exporting an
+    f64-exact state: agreement to 1e-9."""
+    gp, x, y = _trained_gp(kernel=fk.Matern2(0.8, 1.1), prior=fp.ZeroPrior())
+    oracle = NativeGP(fk.Matern2(0.8, 1.1), fp.ZeroPrior(), 0.25, x, y)
+    # replace the bundle's f32-derived arrays with the oracle's f64 state
+    bundle = tmp_path / "model64.frsv"
+
+    class _State:
+        n = x.shape[0]
+        pass
+
+    st = _State()
+    st.x = oracle.x
+    st.resid = oracle.resid
+    st.l = oracle.l_mat
+    st.noise = 0.25
+    st.kernel = fk.Matern2(0.8, 1.1)
+    st.prior = fp.ZeroPrior()
+    serving.export_bundle(st, bundle)
+    xq = RNG.normal(size=(9, 3))
+    want_mean, want_var = oracle.predict_mean_variance(xq)
+    with serving.GPServer(bundle) as srv:
+        with serving.GPClient(port=srv.port) as client:
+            mean, var = client.predict_mean_variance(xq)
+    np.testing.assert_allclose(mean, want_mean, atol=1e-9)
+    np.testing.assert_allclose(var, want_var, atol=1e-9)
+
+
+def test_served_composite_kernel(tmp_path):
+    """Sum-composed kernel goes through the daemon's composite path."""
+    kern = fk.SquaredExp(1.0, 0.8) + fk.Linear(0.2)
+    gp, x, y = _trained_gp(kernel=kern, prior=fp.ZeroPrior())
+    bundle = tmp_path / "model_sum.frsv"
+    serving.export_bundle(gp, bundle)
+    xq = RNG.normal(size=(6, 3))
+    want_mean, want_var = gp.predict_mean_variance(xq)
+    with serving.GPServer(bundle) as srv:
+        with serving.GPClient(port=srv.port) as client:
+            mean, var = client.predict_mean_variance(xq)
+    np.testing.assert_allclose(mean, np.asarray(want_mean), atol=5e-4)
+    np.testing.assert_allclose(var, np.asarray(want_var), atol=5e-4)
