@@ -107,8 +107,8 @@ def build_daemon() -> Path:
         return _BIN
     subprocess.run(
         [
-            "g++", "-O3", "-march=native", "-o", str(_BIN), str(_SRC),
-            f"-L{_SRC.parent}", "-lfriedrich_native",
+            "g++", "-O3", "-march=native", "-pthread", "-o", str(_BIN),
+            str(_SRC), f"-L{_SRC.parent}", "-lfriedrich_native",
             "-Wl,-rpath,$ORIGIN",
         ],
         check=True,
@@ -180,6 +180,8 @@ class GPClient:
                  timeout: float = 60.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.host = host
+        self.port = port
 
     def close(self) -> None:
         self._sock.close()

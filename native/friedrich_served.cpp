@@ -30,6 +30,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 // ---- libfriedrich_native.so surface (see friedrich_native.cpp) ----
@@ -209,6 +210,17 @@ bool serve_one(const Model& m, int fd) {
   return true;
 }
 
+// Connection handler run on its own thread. The Model is immutable after
+// load and predict() uses only per-call buffers, so concurrent readers
+// need no synchronization.
+void serve_connection(const Model* m, int fd) {
+  const int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  while (serve_one(*m, fd)) {
+  }
+  close(fd);
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -243,9 +255,6 @@ int main(int argc, char** argv) {
   for (;;) {
     const int fd = accept(lsock, nullptr, nullptr);
     if (fd < 0) continue;
-    setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-    while (serve_one(model, fd)) {
-    }
-    close(fd);
+    std::thread(serve_connection, &model, fd).detach();
   }
 }

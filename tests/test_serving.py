@@ -72,6 +72,19 @@ def test_served_multiple_requests_one_connection(served):
         assert np.all(np.isfinite(mean)) and np.all(var > 0)
 
 
+def test_served_concurrent_connections(served):
+    """Thread-per-connection accept loop: a second client is served while
+    the module fixture's first connection stays open (the old serial loop
+    would block here until the first client disconnected)."""
+    gp, client = served
+    xq = RNG.normal(size=(4, 3))
+    with serving.GPClient(port=client.port, timeout=10.0) as second:
+        mean2 = second.predict(xq)
+    # first connection still live and interleavable afterwards
+    mean1 = client.predict(xq)
+    np.testing.assert_allclose(mean2, mean1, atol=1e-12)
+
+
 def test_served_dim_mismatch_rejected(served):
     gp, client = served
     with pytest.raises(ft.ConfigError):
