@@ -120,10 +120,10 @@ def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("treedef", "block", "method", "eps")
+    jax.jit, static_argnames=("treedef", "block", "method", "eps", "fused")
 )
 def _streamed_unrolled_impl(
-    leaves, treedef, x_pad, n, noise, eps, block, method
+    leaves, treedef, x_pad, n, noise, eps, block, method, fused=False
 ):
     """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
     time, so every column strip has a STATIC height ``cap - j0``.
@@ -149,16 +149,18 @@ def _streamed_unrolled_impl(
     """
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
     l_full = jnp.zeros((x_pad.shape[0],) * 2, dtype=x_pad.dtype)
-    return _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full)
+    return _unrolled_body(
+        kernel, x_pad, n, noise, eps, block, method, l_full, fused
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("treedef", "block", "method", "eps"),
+    static_argnames=("treedef", "block", "method", "eps", "fused"),
     donate_argnums=(8,),
 )
 def _streamed_unrolled_donate(
-    leaves, treedef, x_pad, n, noise, eps, block, method, l0
+    leaves, treedef, x_pad, n, noise, eps, block, method, l0, fused=False
 ):
     """Host-level entry: the caller allocates the (cap, cap) zeros buffer
     and DONATES it, so the returned factor aliases that buffer. Without
@@ -167,34 +169,47 @@ def _streamed_unrolled_donate(
     n=50k f32 (measured; the fori_loop program's while-carry does get
     output-aliased, the unrolled chain's result does not)."""
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
-    return _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l0)
+    return _unrolled_body(
+        kernel, x_pad, n, noise, eps, block, method, l0, fused
+    )
 
 
-def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full):
+def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
+                   fused=False):
     cap, d = x_pad.shape
     num_panels = cap // block
     dtype = x_pad.dtype
+    if fused:
+        from .pallas.panel_fused import fused_panel_strip
 
     for j in range(num_panels):  # trace-time unroll: j0/rest are static
         j0 = j * block
         rest = cap - j0
         xj = lax.slice(x_pad, (j0, 0), (j0 + block, d))
         x_tail = lax.slice(x_pad, (j0, 0), (cap, d))
-        strip = _train_cov_panel_tail(
-            kernel, x_tail, xj, j0, n, noise, block, method
-        )
+        if fused:
+            # one Pallas call: kernel-map strip + fat-K downdate, each
+            # output tile written exactly once (ops/pallas/panel_fused.py)
+            strip = fused_panel_strip(
+                kernel, x_tail, xj, l_full, n, noise, j0, block
+            )
+        else:
+            strip = _train_cov_panel_tail(
+                kernel, x_tail, xj, j0, n, noise, block, method
+            )
 
-        if j > 0:
-
-            def downdate(i, acc, j0=j0, rest=rest, l_full=l_full):
-                i0 = i * block
-                l_tail = lax.dynamic_slice(l_full, (j0, i0), (rest, block))
-                l_rows = lax.dynamic_slice(l_full, (j0, i0), (block, block))
-                return acc - jnp.dot(
-                    l_tail, l_rows.T, preferred_element_type=dtype
-                )
-
-            strip = lax.fori_loop(0, j, downdate, strip)
+        if j > 0 and not fused:
+            # one fat-K GEMM per panel: S -= L[j0:, :j0] @ L[j0:j0+B, :j0]^T
+            # (static offsets — the factored prefix streams through the MXU
+            # once, vs j chunked GEMMs each re-reading and rewriting the
+            # (rest, B) accumulator strip in HBM)
+            l_tail = lax.slice(l_full, (j0, 0), (cap, j0))
+            l_rows = lax.slice(l_full, (j0, 0), (j0 + block, j0))
+            strip = strip - jax.lax.dot_general(
+                l_tail, l_rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            )
 
         diag_blk = lax.slice(strip, (0, 0), (block, block))
         if eps is None:
@@ -229,6 +244,7 @@ def streamed_cholesky_factor(
     method: str = "gram",
     unroll: Optional[bool] = None,
     l0: Optional[Array] = None,
+    fused: Optional[bool] = None,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -248,13 +264,32 @@ def streamed_cholesky_factor(
     holds for any factor this function produced). The caller must not use
     the donated array afterwards. Avoids holding old + new L at once
     (2x10 GB at n=50k f32).
+
+    ``fused``: use the Pallas build+downdate megakernel for each panel
+    strip (``ops/pallas/panel_fused.py``) — one HBM write per strip
+    element, kernel map fused into the downdate GEMM pipeline. Only
+    valid on the unrolled path (f32, ``block`` a multiple of 512
+    dividing capacity). Default OFF: measured 1.136 s vs 0.769 s for
+    the XLA fat-K path at n=50k on a v5e chip — XLA's GEMM pipelining
+    beats the hand tiling here; the kernel is kept as an opt-in
+    experiment (see BASELINE.md "Pallas megakernel A/B").
     """
     from .partition import pick_block
+    from .pallas.panel_fused import fused_supported
 
     cap = x_pad.shape[0]
     block = pick_block(cap, block)
     if unroll is None:
         unroll = cap // block <= MAX_UNROLL_PANELS
+    supported = unroll and fused_supported(cap, block, x_pad.dtype)
+    if fused is None:
+        fused = False
+    elif fused and not supported:
+        raise ValueError(
+            "fused=True requires the unrolled path, f32, and a block "
+            f"multiple of 512 dividing capacity (got cap={cap}, "
+            f"block={block}, dtype={x_pad.dtype})"
+        )
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     args = (
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
@@ -265,7 +300,7 @@ def streamed_cholesky_factor(
     if isinstance(x_pad, jax.core.Tracer):
         # inside an outer jit the call inlines (donation is meaningless
         # and the result is a temp, which XLA aliases in place anyway)
-        return _streamed_unrolled_impl(*args)
+        return _streamed_unrolled_impl(*args, fused=fused)
     if l0 is None or isinstance(l0, jax.core.Tracer):
         l0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
-    return _streamed_unrolled_donate(*args, l0)
+    return _streamed_unrolled_donate(*args, l0, fused=fused)

@@ -41,20 +41,26 @@ def _factor_pair(cap, n, block, eps=None, dtype=jnp.float32):
 def test_unrolled_factor_matches_fori(cap, n):
     lu, oku, lf, okf = _factor_pair(cap, n, block=16)
     assert bool(oku) and bool(okf)
-    np.testing.assert_array_equal(np.asarray(lu), np.asarray(lf))
+    # fat-K downdate reorders the accumulation vs the fori chunks:
+    # agreement is to f32 rounding, not bit-identical
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(lf), atol=5e-6)
 
 
 def test_unrolled_factor_eps_path_matches_fori():
     lu, oku, lf, okf = _factor_pair(64, 50, block=16, eps=1e-4)
     assert bool(oku) and bool(okf)
-    np.testing.assert_array_equal(np.asarray(lu), np.asarray(lf))
+    # fat-K downdate reorders the accumulation vs the fori chunks:
+    # agreement is to f32 rounding, not bit-identical
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(lf), atol=5e-6)
 
 
 def test_unrolled_factor_single_panel():
     # cap == block: the degenerate no-below-rows case
     lu, oku, lf, okf = _factor_pair(32, 32, block=32)
     assert bool(oku) and bool(okf)
-    np.testing.assert_array_equal(np.asarray(lu), np.asarray(lf))
+    # fat-K downdate reorders the accumulation vs the fori chunks:
+    # agreement is to f32 rounding, not bit-identical
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(lf), atol=5e-6)
 
 
 def _spd_factor(n, dtype):
