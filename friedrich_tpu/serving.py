@@ -172,6 +172,137 @@ class GPServer:
         self.close()
 
 
+class AcceleratedGPServer:
+    """Serve a LIVE (JAX-backed) model over the native daemon's wire
+    protocol — the TPU-backed serving mode.
+
+    Where :class:`GPServer` runs the standalone C++ daemon (CPU f64, no
+    accelerator dependency), this server keeps the trained model resident
+    on whatever backend JAX is using — on a TPU host, posterior sweeps
+    run the blocked/unrolled solve paths (``ops/blocked_solve.py``), so
+    very large n serves at accelerator speed instead of the daemon's
+    single-thread O(n^2)-per-query loops. Same protocol, same
+    :class:`GPClient`.
+
+    ``model`` is anything with ``predict_mean_variance(xq)`` and a
+    ``state.x`` feature matrix (``GaussianProcess`` or ``LargeScaleGP``).
+    Thread-per-connection, like the native daemon; JAX dispatch is
+    serialized with a lock (device execution is already sequential —
+    batching within a request is where the throughput is).
+    """
+
+    def __init__(self, model, host: str = "127.0.0.1",
+                 port: Optional[int] = None, max_batch: int = 1 << 20):
+        import threading
+
+        self._model = model
+        # GaussianProcess keeps features on .state.x; LargeScaleGP on .x
+        feats = getattr(model, "state", model).x
+        self._d = int(feats.shape[1])
+        self._x_dtype = feats.dtype  # wire is f64; model may be f32
+        self._max_batch = max_batch
+        self._lock = threading.Lock()
+        self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind((host, port or 0))
+        self._lsock.listen(16)
+        self.host = host
+        self.port = self._lsock.getsockname()[1]
+        self._closing = False
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        self._accept_thread.start()
+
+    # -- socket plumbing ---------------------------------------------------
+    def _accept_loop(self) -> None:
+        import threading
+
+        while not self._closing:
+            try:
+                conn, _ = self._lsock.accept()
+            except OSError:
+                return  # listening socket closed
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            threading.Thread(
+                target=self._serve_conn, args=(conn,), daemon=True
+            ).start()
+
+    @staticmethod
+    def _recv_exact(conn, nbytes: int) -> Optional[bytes]:
+        buf = bytearray()
+        while len(buf) < nbytes:
+            chunk = conn.recv(nbytes - len(buf))
+            if not chunk:
+                return None
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def _serve_conn(self, conn) -> None:
+        try:
+            while True:
+                head = self._recv_exact(conn, 8)
+                if head is None:
+                    return
+                magic, flags = struct.unpack("<II", head)
+                if magic != _REQ_MAGIC:
+                    return
+                dims = self._recv_exact(conn, 16)
+                if dims is None:
+                    return
+                nq, d = struct.unpack("<QQ", dims)
+                if nq == 0 or nq > self._max_batch or d != self._d:
+                    # drain the request payload so the connection stays
+                    # usable for the next request (the native daemon
+                    # closes instead)
+                    if nq <= self._max_batch:
+                        self._recv_exact(conn, 8 * nq * d)
+                    conn.sendall(
+                        struct.pack("<IIQ", _RESP_MAGIC, 1, 0)
+                    )
+                    if nq > self._max_batch:
+                        return
+                    continue
+                data = self._recv_exact(conn, 8 * nq * d)
+                if data is None:
+                    return
+                xq = np.frombuffer(data, dtype="<f8").reshape(nq, d)
+                mean, var = self._predict(xq)
+                conn.sendall(
+                    struct.pack("<IIQ", _RESP_MAGIC, 0, nq)
+                    + mean.astype("<f8").tobytes()
+                    + (var.astype("<f8").tobytes()
+                       if flags & _FLAG_VARIANCE else b"")
+                )
+        except OSError:
+            return
+        finally:
+            conn.close()
+
+    def _predict(self, xq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        with self._lock:
+            mean, var = self._model.predict_mean_variance(
+                xq.astype(self._x_dtype)
+            )
+        return np.asarray(mean, dtype=np.float64), np.asarray(
+            var, dtype=np.float64
+        )
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._lsock.close()
+        except OSError:
+            pass
+        self._accept_thread.join(timeout=5)
+
+    def __enter__(self) -> "AcceleratedGPServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class GPClient:
     """Blocking client for the serving protocol (one persistent
     connection; requests are pipelined serially)."""

@@ -120,6 +120,59 @@ def test_served_matches_native_oracle_f64(tmp_path):
     np.testing.assert_allclose(var, want_var, atol=1e-9)
 
 
+def test_accelerated_server_matches_model():
+    """TPU-backed serving mode: the in-process JAX server speaks the same
+    protocol, answers from the live model's solve paths."""
+    gp, x, y = _trained_gp()
+    xq = RNG.normal(size=(11, 3))
+    want_mean, want_var = gp.predict_mean_variance(xq)
+    with serving.AcceleratedGPServer(gp) as srv:
+        with serving.GPClient(port=srv.port, timeout=30.0) as client:
+            mean, var = client.predict_mean_variance(xq)
+            mean_only = client.predict(xq)
+    np.testing.assert_allclose(mean, np.asarray(want_mean), atol=1e-5)
+    np.testing.assert_allclose(var, np.asarray(want_var), atol=1e-5)
+    np.testing.assert_allclose(mean_only, mean, atol=1e-12)
+
+
+def test_accelerated_server_concurrent_and_errors():
+    gp, x, y = _trained_gp()
+    xq = RNG.normal(size=(3, 3))
+    with serving.AcceleratedGPServer(gp) as srv:
+        with serving.GPClient(port=srv.port, timeout=30.0) as c1, \
+                serving.GPClient(port=srv.port, timeout=30.0) as c2:
+            m1 = c1.predict(xq)
+            with pytest.raises(ft.ConfigError):
+                c2.predict(RNG.normal(size=(2, 7)))  # wrong dim -> status 1
+            m2 = c2.predict(xq)  # connection still usable after error
+    np.testing.assert_allclose(m1, m2, atol=1e-12)
+
+
+def test_accelerated_server_large_scale_gp():
+    """The distributed engine serves through the same protocol."""
+    import jax
+    from friedrich_tpu.parallel.large_scale import LargeScaleGP
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[: min(4, len(jax.devices()))])
+    mesh = Mesh(devs, ("rows",))
+    n, d = 96, 3
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    gp = LargeScaleGP(
+        mesh, fk.SquaredExp(1.0, 0.9), fp.ZeroPrior(), 0.3, x, y, block=32
+    )
+    xq = RNG.normal(size=(5, d))
+    want_mean, want_var = gp.predict_mean_variance(
+        np.asarray(xq, np.float32)
+    )
+    with serving.AcceleratedGPServer(gp) as srv:
+        with serving.GPClient(port=srv.port, timeout=60.0) as client:
+            mean, var = client.predict_mean_variance(xq)
+    np.testing.assert_allclose(mean, np.asarray(want_mean), atol=5e-4)
+    np.testing.assert_allclose(var, np.asarray(want_var), atol=5e-4)
+
+
 def test_served_composite_kernel(tmp_path):
     """Sum-composed kernel goes through the daemon's composite path."""
     kern = fk.SquaredExp(1.0, 0.8) + fk.Linear(0.2)
