@@ -46,3 +46,37 @@ def x64_enabled() -> bool:
 def default_dtype() -> jnp.dtype:
     """float64 under x64, float32 otherwise."""
     return jnp.float64 if x64_enabled() else jnp.float32
+
+
+#: MXU matmul precision modes (see :func:`matmul_precision`).
+MATMUL_PRECISION_MODES = {
+    "bf16": "bfloat16",   # 1 MXU pass: operands rounded to bfloat16
+    "f32x3": "high",      # 3 passes: bf16x3 compensation, near-f32
+    "f32": "highest",     # 6 passes: true f32 products
+}
+
+
+def matmul_precision(mode: str):
+    """Context manager pinning the MXU precision of EVERY matmul in the
+    library (covariance builds, factorization downdates, triangular
+    solves, predict GEMMs) for ops traced inside the scope.
+
+    On TPU, an unannotated float32 ``dot`` runs the MXU in its fastest
+    mode — operands rounded to bfloat16 per pass, float32 accumulation —
+    which is the ambient JAX/XLA default and what this library's
+    performance numbers are measured at. Users needing true-f32 products
+    wrap model construction and use in ``matmul_precision("f32")``
+    (measured cost/accuracy ladder: BASELINE.md "Matmul precision on
+    TPU"). f64 parity paths are unaffected in substance: x64 math does
+    not route through the single-pass bf16 MXU mode.
+
+    Entering a different mode re-traces jitted programs (the ambient
+    precision is part of the jit cache key) — expect a one-off
+    recompile per mode.
+    """
+    if mode not in MATMUL_PRECISION_MODES:
+        raise ValueError(
+            f"mode must be one of {sorted(MATMUL_PRECISION_MODES)}, "
+            f"got {mode!r}"
+        )
+    return jax.default_matmul_precision(MATMUL_PRECISION_MODES[mode])

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .covariance import cross_covariance, cross_covariance_train_padded
+from .covariance import (
+    cross_covariance, cross_covariance_train_padded, kernel_diag,
+)
 
 Array = jnp.ndarray
 
@@ -194,7 +196,10 @@ def cholesky_append_padded(
     c = cross_covariance_train_padded(kernel, x_pad, n_old, x_new, method=method)
     s = solve_triangular(l_pad, c, lower=True)  # (cap, k) — zero in dead rows
     k22 = cross_covariance(kernel, x_new, x_new, method=method)
-    k22 = k22 + (noise * noise) * jnp.eye(k_new, dtype=k22.dtype)
+    # analytic diagonal: see ops/covariance.train_covariance_padded
+    kd = kernel_diag(kernel, x_new) + noise * noise
+    idx = jnp.arange(k_new)
+    k22 = jnp.where(idx[:, None] == idx[None, :], kd[:, None], k22)
     m22 = k22 - jnp.dot(s.T, s, preferred_element_type=s.dtype)
     if eps is None:
         l22 = jnp.linalg.cholesky(m22)

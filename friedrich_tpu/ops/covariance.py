@@ -60,9 +60,16 @@ def train_covariance_padded(
     """
     cap = x_pad.shape[0]
     k = cross_covariance(kernel, x_pad, x_pad, method=method)
-    eye = jnp.eye(cap, dtype=k.dtype)
-    k = k + (noise * noise) * eye
+    # The diagonal is k(x,x) + noise^2 with EXACTLY zero distance — set it
+    # from the analytic per-row kernel diagonal rather than the pairwise
+    # tile, whose gram-identity cancellation (|x|^2+|x|^2-2x.x) otherwise
+    # puts the matmul's rounding error directly on the pivots (dominant at
+    # bf16 MXU precision: ~2^-8 |x|^2 absolute in sqdist).
+    kd = kernel_diag(kernel, x_pad) + noise * noise
     idx = jnp.arange(cap)
+    eye = jnp.eye(cap, dtype=k.dtype)
+    diag = idx[:, None] == idx[None, :]
+    k = jnp.where(diag, kd[:, None], k)
     live = (idx[:, None] < n) & (idx[None, :] < n)
     return jnp.where(live, k, eye)
 

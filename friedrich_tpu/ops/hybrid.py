@@ -98,7 +98,7 @@ def _hybrid_region(kernel, x_pad, n, noise, eps, block, method, levels, h,
     row ``h``; the leading [0, h) region recurses (or streams at the leaf)."""
     from jax.scipy.linalg import solve_triangular
 
-    from .covariance import cross_covariance
+    from .covariance import cross_covariance, kernel_diag
 
     d = x_pad.shape[1]
     dtype = x_pad.dtype
@@ -183,7 +183,9 @@ def _hybrid_region(kernel, x_pad, n, noise, eps, block, method, levels, h,
         strip = cross_covariance(kernel, x2, xj, method=method)  # (h2, B)
         cols = h + c0 + jnp.arange(block)[None, :]
         diag = rows2 == cols
-        strip = strip + jnp.where(diag, noise * noise, 0.0)
+        # analytic diagonal: see ops/covariance.train_covariance_padded
+        kd = kernel_diag(kernel, xj) + noise * noise
+        strip = jnp.where(diag, kd[None, :], strip)
         live = (rows2 < n) & (cols < n)
         strip = jnp.where(live, strip, jnp.where(diag, 1.0, 0.0).astype(dtype))
 

@@ -80,7 +80,17 @@ def _cov_kernel_body(
         cols = j * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
         live = (rows < n) & (cols < n)
         diag = rows == cols
-        k = k + jnp.where(diag, (noise * noise), 0.0)
+        # analytic diagonal (distance exactly zero), not the gram tile's
+        # cancellation-prone value: see ops/covariance.train_covariance_padded
+        dfeats = {}
+        if DOT in kernel.needs:
+            dfeats[DOT] = jnp.sum(x2 * x2, axis=1)
+        if SQDIST in kernel.needs:
+            dfeats[SQDIST] = jnp.zeros((TILE,), dtype=dtype)
+        if DIST in kernel.needs:
+            dfeats[DIST] = jnp.zeros((TILE,), dtype=dtype)
+        kd = kernel.pointwise(dfeats).astype(dtype) + noise * noise
+        k = jnp.where(diag, kd[None, :], k)
         eye = jnp.where(diag, 1.0, 0.0).astype(dtype)
         k = jnp.where(live, k, eye)
     else:

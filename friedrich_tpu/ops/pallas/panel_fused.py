@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..distance import DIST, DOT, SQDIST
 from .covariance_pallas import _feats_tile
 
 Array = jnp.ndarray
@@ -71,7 +72,18 @@ def _fused_body(
         cols = j0 + j * TN + jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1)
         diag = rows == cols
         live = (rows < n) & (cols < n)
-        kv = kv + jnp.where(diag, noise * noise, 0.0)
+        # analytic diagonal (distance exactly zero): see
+        # ops/covariance.train_covariance_padded
+        x2t = x2_ref[:]
+        dfeats = {}
+        if DOT in kernel.needs:
+            dfeats[DOT] = jnp.sum(x2t * x2t, axis=1)
+        if SQDIST in kernel.needs:
+            dfeats[SQDIST] = jnp.zeros((TN,), dtype=dtype)
+        if DIST in kernel.needs:
+            dfeats[DIST] = jnp.zeros((TN,), dtype=dtype)
+        kd = kernel.pointwise(dfeats).astype(dtype) + noise * noise
+        kv = jnp.where(diag, kd[None, :], kv)
         eye = jnp.where(diag, 1.0, 0.0).astype(dtype)
         out_ref[:] = jnp.where(live, kv, eye)
 

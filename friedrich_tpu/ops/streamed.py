@@ -29,6 +29,7 @@ shapes; the panel GEMMs run at MXU speed so this wins wall-clock at scale.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -38,34 +39,64 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 from .cholesky import cholesky_with_substitute, rsolve_lower_t
-from .covariance import cross_covariance
+from .covariance import cross_covariance, kernel_diag
 
 Array = jnp.ndarray
 
 DEFAULT_PANEL = 1024
 
+#: MXU precision modes for the factorization's matmuls (downdate GEMMs,
+#: panel solves, diagonal-block factorizations). On TPU an UNANNOTATED
+#: f32 ``dot`` runs the MXU in its fastest mode — operands rounded to
+#: bfloat16, f32 accumulation (measured: identical error to an explicit
+#: bf16 operand cast; see BASELINE.md "Matmul precision on TPU").
+#: ``"bf16"`` pins that behavior explicitly; ``"f32x3"`` is the 3-pass
+#: bf16x3 compensation (near-f32 products); ``"f32"`` is true f32
+#: (6-pass). ``None`` inherits the ambient
+#: ``jax.default_matmul_precision`` (i.e. bf16 unless the user set it,
+#: e.g. via ``friedrich_tpu.config.matmul_precision``).
+from ..config import MATMUL_PRECISION_MODES as PRECISION_MODES  # noqa: E402
+
+
+def _precision_scope(precision):
+    if precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(PRECISION_MODES[precision])
+
 
 def _train_cov_panel(kernel, x_pad, xj, j0, n, noise, block, method):
     """One (cap, B) column strip of the padded training covariance:
-    kernel evals + noise^2 diagonal on the live block, identity padding."""
+    kernel evals + noise^2 diagonal on the live block, identity padding.
+    The diagonal is set from the ANALYTIC per-row kernel diagonal
+    (distance exactly zero), not the pairwise tile — see
+    ``train_covariance_padded``."""
     cap = x_pad.shape[0]
     k = cross_covariance(kernel, x_pad, xj, method=method)
+    kd = kernel_diag(kernel, xj) + noise * noise
     rows = jnp.arange(cap)[:, None]
     cols = j0 + jnp.arange(block)[None, :]
     diag = rows == cols
-    k = k + jnp.where(diag, noise * noise, 0.0)
+    k = jnp.where(diag, kd[None, :], k)
     live = (rows < n) & (cols < n)
     eye = jnp.where(diag, 1.0, 0.0).astype(k.dtype)
     return jnp.where(live, k, eye)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("treedef", "block", "method", "eps")
+    jax.jit,
+    static_argnames=("treedef", "block", "method", "eps", "precision"),
 )
 def _streamed_cholesky_impl(
-    leaves, treedef, x_pad, n, noise, eps, block, method
+    leaves, treedef, x_pad, n, noise, eps, block, method, precision=None
 ):
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
+    with _precision_scope(precision):
+        return _fori_body(
+            kernel, x_pad, n, noise, eps, block, method
+        )
+
+
+def _fori_body(kernel, x_pad, n, noise, eps, block, method):
     cap, d = x_pad.shape
     num_panels = cap // block
     dtype = x_pad.dtype
@@ -107,23 +138,29 @@ def _streamed_cholesky_impl(
 def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
     """The (cap - j0, B) TAIL of a training-covariance column strip (rows
     j0..cap): kernel evals + noise^2 diagonal on the live block, identity
-    padding.  ``j0`` is a static trace-time offset."""
+    padding.  ``j0`` is a static trace-time offset.  Diagonal from the
+    analytic per-row kernel diagonal (see ``train_covariance_padded``)."""
     rest = x_tail.shape[0]
     k = cross_covariance(kernel, x_tail, xj, method=method)
+    kd = kernel_diag(kernel, xj) + noise * noise
     rows = j0 + jnp.arange(rest)[:, None]
     cols = j0 + jnp.arange(block)[None, :]
     diag = rows == cols
-    k = k + jnp.where(diag, noise * noise, 0.0)
+    k = jnp.where(diag, kd[None, :], k)
     live = (rows < n) & (cols < n)
     eye = jnp.where(diag, 1.0, 0.0).astype(k.dtype)
     return jnp.where(live, k, eye)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("treedef", "block", "method", "eps", "fused")
+    jax.jit,
+    static_argnames=(
+        "treedef", "block", "method", "eps", "fused", "precision"
+    ),
 )
 def _streamed_unrolled_impl(
-    leaves, treedef, x_pad, n, noise, eps, block, method, fused=False
+    leaves, treedef, x_pad, n, noise, eps, block, method, fused=False,
+    precision=None,
 ):
     """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
     time, so every column strip has a STATIC height ``cap - j0``.
@@ -149,18 +186,22 @@ def _streamed_unrolled_impl(
     """
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
     l_full = jnp.zeros((x_pad.shape[0],) * 2, dtype=x_pad.dtype)
-    return _unrolled_body(
-        kernel, x_pad, n, noise, eps, block, method, l_full, fused
-    )
+    with _precision_scope(precision):
+        return _unrolled_body(
+            kernel, x_pad, n, noise, eps, block, method, l_full, fused
+        )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("treedef", "block", "method", "eps", "fused"),
+    static_argnames=(
+        "treedef", "block", "method", "eps", "fused", "precision"
+    ),
     donate_argnums=(8,),
 )
 def _streamed_unrolled_donate(
-    leaves, treedef, x_pad, n, noise, eps, block, method, l0, fused=False
+    leaves, treedef, x_pad, n, noise, eps, block, method, l0, fused=False,
+    precision=None,
 ):
     """Host-level entry: the caller allocates the (cap, cap) zeros buffer
     and DONATES it, so the returned factor aliases that buffer. Without
@@ -169,9 +210,10 @@ def _streamed_unrolled_donate(
     n=50k f32 (measured; the fori_loop program's while-carry does get
     output-aliased, the unrolled chain's result does not)."""
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
-    return _unrolled_body(
-        kernel, x_pad, n, noise, eps, block, method, l0, fused
-    )
+    with _precision_scope(precision):
+        return _unrolled_body(
+            kernel, x_pad, n, noise, eps, block, method, l0, fused
+        )
 
 
 def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
@@ -205,6 +247,8 @@ def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
             # (rest, B) accumulator strip in HBM)
             l_tail = lax.slice(l_full, (j0, 0), (cap, j0))
             l_rows = lax.slice(l_full, (j0, 0), (j0 + block, j0))
+            # precision=None: inherits the enclosing _precision_scope
+            # (or the ambient jax.default_matmul_precision)
             strip = strip - jax.lax.dot_general(
                 l_tail, l_rows,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -245,6 +289,7 @@ def streamed_cholesky_factor(
     unroll: Optional[bool] = None,
     l0: Optional[Array] = None,
     fused: Optional[bool] = None,
+    precision: Optional[str] = None,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -273,6 +318,18 @@ def streamed_cholesky_factor(
     the XLA fat-K path at n=50k on a v5e chip — XLA's GEMM pipelining
     beats the hand tiling here; the kernel is kept as an opt-in
     experiment (see BASELINE.md "Pallas megakernel A/B").
+
+    ``precision``: MXU matmul precision for the WHOLE factorization
+    (downdate GEMMs, panel solves, diagonal-block factorizations) —
+    ``None`` (default, inherit the ambient
+    ``jax.default_matmul_precision``), ``"bf16"``, ``"f32x3"``, or
+    ``"f32"`` (:data:`PRECISION_MODES`). On TPU the ambient default IS
+    single-pass bf16 — f32 operands are rounded to bfloat16 per MXU
+    pass with f32 accumulation — so ``None`` and ``"bf16"`` coincide
+    unless the caller set the ambient config; users needing true-f32
+    GEMMs must ask for ``"f32"`` explicitly. Measured ladder (time at
+    n=50k/B=5000 on a v5e, accuracy vs a float64 host factorization at
+    n=8192) in BASELINE.md "Matmul precision on TPU".
     """
     from .partition import pick_block
     from .pallas.panel_fused import fused_supported
@@ -290,17 +347,26 @@ def streamed_cholesky_factor(
             f"multiple of 512 dividing capacity (got cap={cap}, "
             f"block={block}, dtype={x_pad.dtype})"
         )
+    if precision is not None and precision not in PRECISION_MODES:
+        raise ValueError(
+            f"precision must be None or one of "
+            f"{sorted(PRECISION_MODES)}, got {precision!r}"
+        )
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     args = (
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
         jnp.asarray(noise, x_pad.dtype), eps, block, method,
     )
     if not unroll:
-        return _streamed_cholesky_impl(*args)
+        return _streamed_cholesky_impl(*args, precision=precision)
     if isinstance(x_pad, jax.core.Tracer):
         # inside an outer jit the call inlines (donation is meaningless
         # and the result is a temp, which XLA aliases in place anyway)
-        return _streamed_unrolled_impl(*args, fused=fused)
+        return _streamed_unrolled_impl(
+            *args, fused=fused, precision=precision
+        )
     if l0 is None or isinstance(l0, jax.core.Tracer):
         l0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
-    return _streamed_unrolled_donate(*args, l0, fused=fused)
+    return _streamed_unrolled_donate(
+        *args, l0, fused=fused, precision=precision
+    )

@@ -22,7 +22,9 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.cholesky import _unblocked_cholesky_substitute
-from ..ops.covariance import cross_covariance, cross_covariance_train_padded
+from ..ops.covariance import (
+    cross_covariance, cross_covariance_train_padded, kernel_diag,
+)
 from .distributed_solve import distributed_solve_lower
 
 import functools
@@ -81,7 +83,10 @@ def distributed_cholesky_append(
     c = cross_covariance_train_padded(kernel, x_pad, n, x_new, method=method)
     s = distributed_solve_lower(mesh, l_sharded, c, block)  # (cap, k) replicated
     k22 = cross_covariance(kernel, x_new, x_new, method=method)
-    k22 = k22 + (noise * noise) * jnp.eye(k, dtype=k22.dtype)
+    # analytic diagonal: see ops/covariance.train_covariance_padded
+    kd = kernel_diag(kernel, x_new) + noise * noise
+    idx = jnp.arange(k)
+    k22 = jnp.where(idx[:, None] == idx[None, :], kd[:, None], k22)
     m22 = k22 - s.T @ s
     if eps is None:
         l22 = jnp.linalg.cholesky(m22)

@@ -36,7 +36,7 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.cholesky import _unblocked_cholesky_substitute, rsolve_lower_t
-from ..ops.covariance import cross_covariance
+from ..ops.covariance import cross_covariance, kernel_diag
 
 Array = jnp.ndarray
 
@@ -88,9 +88,11 @@ def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method)
 
             # local rows of the covariance strip (streamed build)
             s = cross_covariance(kern, x_local, xj, method=method)
+            # analytic diagonal: see ops/covariance.train_covariance_padded
+            kd = kernel_diag(kern, xj) + noise_v * noise_v
             cols = j0 + jnp.arange(block)[None, :]
             diag = rows_global[:, None] == cols
-            s = s + jnp.where(diag, noise_v * noise_v, 0.0)
+            s = jnp.where(diag, kd[None, :], s)
             live = (rows_global[:, None] < n_live) & (cols < n_live)
             eye = jnp.where(diag, 1.0, 0.0).astype(dtype)
             s = jnp.where(live, s, eye)

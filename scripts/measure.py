@@ -18,6 +18,8 @@ Experiments:
     nuts     NUTS transitions/s on a GP hyperparameter posterior:
              --gp-n --chains
     gemm     raw GEMM roofline probe (f32 + bf16): --n
+    precacc  precision-mode accuracy ladder vs a host f64 factor:
+             --n (capped 8192) --block
     all      factor(hybrid) + cov + predict + nuts
 """
 
@@ -89,9 +91,11 @@ def exp_factor(args):
         elif backend == "streamed":
             from friedrich_tpu.ops.streamed import streamed_cholesky_factor
 
+            prec = None if args.precision == "ambient" else args.precision
             f = jax.jit(
                 lambda x: _scalarize(streamed_cholesky_factor(
-                    kern, x, n, noise, block=args.block, method=method
+                    kern, x, n, noise, block=args.block, method=method,
+                    precision=prec,
                 ))
             )
         elif backend == "tiled":
@@ -114,7 +118,8 @@ def exp_factor(args):
         t = timeit(f, x, r=args.repeats)
         emit(
             exp="factor", backend=backend, n=n, block=args.block,
-            levels=args.levels, dtype=args.dtype, seconds=round(t, 4),
+            levels=args.levels, dtype=args.dtype, precision=args.precision,
+            seconds=round(t, 4),
             eff_tflops=round(n**3 / 3 / t / 1e12, 1),
         )
     except Exception as e:
@@ -278,30 +283,104 @@ def exp_diag(args):
             emit(exp="diag_trsm", b=b, error=str(e)[:200])
 
 
+def exp_precacc(args):
+    """Accuracy ladder of the precision modes against an independent
+    float64 HOST factorization of the same covariance (numpy builds K in
+    f64 from the same inputs; numpy factors it). Reports, per mode, the
+    max |L - L64| over the lower triangle and the max relative diagonal
+    error — measured in f64 on the host, so the comparison itself cannot
+    round the differences away (a TPU-side comparison matmul runs at
+    bf16 operand precision and once reported exactly 0.0)."""
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+    dtype = jnp.float32
+    kern, noise = _kernel_noise(dtype)
+    rng = np.random.default_rng(0)
+    n = min(args.n, 8192)
+    block = min(args.block, n // 4)
+    x64 = rng.normal(size=(n, args.d))
+    x = jnp.asarray(x64, dtype)
+    x64 = np.asarray(x, np.float64)  # compare from the f32-rounded inputs
+
+    sq = (
+        np.sum(x64 * x64, 1)[:, None] + np.sum(x64 * x64, 1)[None, :]
+        - 2.0 * x64 @ x64.T
+    )
+    k64 = float(kern.ampl) * np.exp(-sq / (2.0 * float(kern.ls) ** 2))
+    k64[np.arange(n), np.arange(n)] += float(noise) ** 2
+    l64 = np.linalg.cholesky(k64)
+    tril = np.tril_indices(n)
+
+    # end-to-end reference: posterior mean weights alpha = K^-1 y
+    rng_y = np.random.default_rng(1)
+    y64 = rng_y.normal(size=(n,))
+    alpha64 = np.linalg.solve(k64, y64)
+
+    for mode in (None, "bf16", "f32x3", "f32"):
+        try:
+            l_mode, ok = streamed_cholesky_factor(
+                kern, x, n, noise, block=block, unroll=True,
+                precision=mode,
+            )
+            lm = np.asarray(jax.block_until_ready(l_mode), np.float64)
+            # forward factor error (harsh: exact-factor elementwise)
+            dl = np.abs(lm - l64)[tril].max()
+            dd = np.abs(np.diagonal(lm) / np.diagonal(l64) - 1.0).max()
+            # backward error: the computed factor is the EXACT factor of
+            # K + E — |E| is what the GP math actually experiences
+            lmt = np.tril(lm)
+            be = np.abs(lmt @ lmt.T - k64).max()
+            # end-to-end: posterior-mean weights through the computed
+            # factor (two host f64 triangular solves, so only the
+            # factor's error is measured)
+            from scipy.linalg import solve_triangular as st
+            am = st(lmt.T, st(lmt, y64, lower=True), lower=False)
+            da = np.abs(am - alpha64).max() / np.abs(alpha64).max()
+            emit(exp="precision_accuracy", n=n, block=block,
+                 mode=mode or "ambient", max_abs_l_err=float(dl),
+                 max_rel_diag_err=float(dd), backward_err=float(be),
+                 rel_alpha_err=float(da), ok=bool(ok))
+        except Exception as e:
+            emit(exp="precision_accuracy", n=n, mode=mode or "ambient",
+                 error=str(e)[:300])
+
+
 def exp_gemm(args):
-    """Raw GEMM roofline probe: the chip's achievable matmul rate per dtype
-    (the denominator for achieved-fraction numbers in BASELINE.md)."""
+    """Raw GEMM roofline probe: the chip's achievable matmul rate per
+    dtype AND per MXU precision mode (f32 operands: 1/3/6 bf16 passes) —
+    the denominators for achieved-fraction numbers in BASELINE.md."""
+    from jax import lax
+
     n = args.n
     rng = np.random.default_rng(0)
-    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+    cases = [
+        (jnp.bfloat16, None, "bf16-operands"),
+        (jnp.float32, None, "f32-ambient"),
+        (jnp.float32, lax.Precision.DEFAULT, "f32-bf16_1pass"),
+        (jnp.float32, lax.Precision.HIGH, "f32-bf16_3pass"),
+        (jnp.float32, lax.Precision.HIGHEST, "f32-true_6pass"),
+    ]
+    for dtype, prec, name in cases:
         try:
             a = jnp.asarray(rng.normal(size=(n, n)), dtype)
             b = jnp.asarray(rng.normal(size=(n, n)), dtype)
             f = jax.jit(
-                lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+                lambda a, b: jnp.dot(
+                    a, b, preferred_element_type=jnp.float32, precision=prec
+                )
             )
             t = timeit(f, a, b, r=5)
-            emit(exp="gemm", dtype=name, n=n, seconds=round(t, 5),
+            emit(exp="gemm", mode=name, n=n, seconds=round(t, 5),
                  tflops=round(2 * n**3 / t / 1e12, 1))
         except Exception as e:
-            emit(exp="gemm", dtype=name, error=str(e)[:200])
+            emit(exp="gemm", mode=name, error=str(e)[:200])
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("exps", nargs="+",
                    choices=["factor", "cov", "predict", "nuts", "gemm",
-                            "diag", "all"])
+                            "diag", "precacc", "all"])
     p.add_argument("--backend", default="hybrid",
                    choices=["dense", "streamed", "tiled", "hybrid"])
     p.add_argument("--n", type=int, default=50000)
@@ -310,6 +389,10 @@ def main(argv=None):
     p.add_argument("--block", type=int, default=2500)
     p.add_argument("--levels", type=int, default=2)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--precision", default="ambient",
+                   choices=["ambient", "bf16", "f32x3", "f32"],
+                   help="factorization matmul precision "
+                        "(streamed backend only)")
     p.add_argument("--gp-n", type=int, default=1024)
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
     p.add_argument("--warmup", type=int, default=100)
@@ -322,7 +405,8 @@ def main(argv=None):
         exps = ["factor", "cov", "predict", "nuts"]
     for e in exps:
         {"factor": exp_factor, "cov": exp_cov, "predict": exp_predict,
-         "nuts": exp_nuts, "gemm": exp_gemm, "diag": exp_diag}[e](args)
+         "nuts": exp_nuts, "gemm": exp_gemm, "diag": exp_diag,
+         "precacc": exp_precacc}[e](args)
 
 
 if __name__ == "__main__":

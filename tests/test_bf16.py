@@ -101,3 +101,57 @@ def test_builder_rejects_unknown_method():
     y = RNG.normal(size=8)
     with pytest.raises(ConfigError):
         ft.GaussianProcessBuilder(x, y).set_distance_method("fp8")
+
+
+def test_matmul_precision_scope():
+    """config.matmul_precision pins the MXU mode for everything traced
+    inside the scope (on CPU all modes are f32-exact; this pins the API:
+    valid modes work end-to-end, invalid modes raise)."""
+    from friedrich_tpu import config
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+    kern = fk.SquaredExp(ls=jnp.float32(0.9), ampl=jnp.float32(1.0))
+    x = jnp.asarray(RNG.normal(size=(64, 3)), jnp.float32)
+    ref, _ = streamed_cholesky_factor(kern, x, 64, jnp.float32(0.5), block=16)
+    for mode in ("bf16", "f32x3", "f32"):
+        with config.matmul_precision(mode):
+            l_mode, ok = streamed_cholesky_factor(
+                kern, x, 64, jnp.float32(0.5), block=16
+            )
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(l_mode), np.asarray(ref), atol=3e-2
+        )
+    with pytest.raises(ValueError):
+        config.matmul_precision("fp8")
+
+
+def test_analytic_diagonal_exact():
+    """The training-covariance diagonal is k(x,x) + noise^2 with distance
+    EXACTLY zero — taken from the analytic per-row kernel diagonal, not
+    the gram tile, whose |x|^2+|x|^2-2x.x cancellation puts matmul
+    rounding directly on the pivots (catastrophic at bf16 MXU precision:
+    measured ~11%% rel diag error at n=8192 before the fix). Large-norm
+    f32 inputs make the gram rounding visible even on CPU."""
+    from friedrich_tpu.ops.covariance import (
+        kernel_diag, train_covariance_padded,
+    )
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+    kern = fk.SquaredExp(ls=jnp.float32(40.0), ampl=jnp.float32(2.0))
+    n = 64
+    x = jnp.asarray(RNG.normal(size=(n, 5)) * 100.0, jnp.float32)
+    noise = jnp.float32(0.25)
+    expect = np.asarray(kernel_diag(kern, x)) + 0.25**2
+
+    k = train_covariance_padded(kern, x, n, noise, method="gram")
+    np.testing.assert_array_equal(np.asarray(jnp.diagonal(k)), expect)
+
+    # the fused streamed factorizer's panel strips carry the same diagonal:
+    # reconstruct K from the factor and check the diagonal tightly
+    l_mat, ok = streamed_cholesky_factor(kern, x, n, noise, block=16)
+    assert bool(ok)
+    rec = np.asarray(l_mat) @ np.asarray(l_mat).T
+    np.testing.assert_allclose(
+        np.diagonal(rec), expect, rtol=2e-5
+    )

@@ -63,6 +63,38 @@ def test_unrolled_factor_single_panel():
     np.testing.assert_allclose(np.asarray(lu), np.asarray(lf), atol=5e-6)
 
 
+@pytest.mark.parametrize("unroll", [True, False])
+@pytest.mark.parametrize("precision", ["bf16", "f32x3", "f32"])
+def test_precision_modes(precision, unroll):
+    """Every precision mode produces a valid factor on both program
+    shapes.  On CPU all modes compute f32-exact products, so the factors
+    agree tightly; the mode distinction is a TPU MXU pass-count choice
+    (measured ladder in BASELINE.md "Matmul precision on TPU")."""
+    cap = n = 128
+    x = jnp.asarray(RNG.normal(size=(cap, 3)), jnp.float32)
+    kern = fk.SquaredExp(ls=jnp.float32(0.9), ampl=jnp.float32(1.0))
+    noise = jnp.float32(0.5)
+    l_ref, ok_ref = streamed_cholesky_factor(
+        kern, x, n, noise, block=32, unroll=unroll
+    )
+    l_mode, ok_mode = streamed_cholesky_factor(
+        kern, x, n, noise, block=32, unroll=unroll, precision=precision
+    )
+    assert bool(ok_ref) and bool(ok_mode)
+    k_ref = np.asarray(l_ref) @ np.asarray(l_ref).T
+    k_mode = np.asarray(l_mode) @ np.asarray(l_mode).T
+    np.testing.assert_allclose(k_mode, k_ref, atol=3e-2)
+
+
+def test_precision_gate():
+    x = jnp.asarray(RNG.normal(size=(64, 3)), jnp.float32)
+    kern = fk.SquaredExp(ls=jnp.float32(0.9), ampl=jnp.float32(1.0))
+    with pytest.raises(ValueError):
+        streamed_cholesky_factor(
+            kern, x, 64, jnp.float32(0.5), block=16, precision="fp8"
+        )
+
+
 def _spd_factor(n, dtype):
     a = RNG.normal(size=(n, n))
     spd = a @ a.T + n * np.eye(n)
