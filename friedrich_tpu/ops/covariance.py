@@ -101,7 +101,15 @@ def gradient_covariances_padded(
     feats = pairwise_features(x_pad, x_pad, kernel.needs, method=method)
     grads = kernel.pointwise_grads(feats)
     stacked = jnp.stack(list(grads), axis=0)
+    # Diagonal from the analytic zero-distance features, for the same
+    # reason as in train_covariance_padded: the gram tile's cancellation
+    # puts matmul rounding on the diagonal, which feeds the optimizer's
+    # trace terms tr(K^-1 dK) directly.
+    dfeats = diag_features(x_pad, kernel.needs)
+    dgrads = jnp.stack(list(kernel.pointwise_grads(dfeats)), axis=0)
     cap = x_pad.shape[0]
     idx = jnp.arange(cap)
+    diag = idx[:, None] == idx[None, :]
+    stacked = jnp.where(diag[None, :, :], dgrads[:, :, None], stacked)
     live = (idx[:, None] < n) & (idx[None, :] < n)
     return jnp.where(live[None, :, :], stacked, 0.0)

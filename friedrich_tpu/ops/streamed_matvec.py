@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .distance import pairwise_features
+from .distance import diag_features, pairwise_features
 
 Array = jnp.ndarray
 
@@ -35,7 +35,15 @@ def _grad_matvec_impl(leaves, treedef, x_pad, n, v, block, method):
         xj = lax.dynamic_slice(x_pad, (j0, jnp.zeros_like(j0)), (block, d))
         feats = pairwise_features(x_pad, xj, kernel.needs, method=method)
         grads = kernel.pointwise_grads(feats)  # p x (cap, block)
+        # analytic diagonal (distance exactly zero): see
+        # ops/covariance.gradient_covariances_padded
+        dgrads = kernel.pointwise_grads(diag_features(xj, kernel.needs))
         cols = j0 + jnp.arange(block)[None, :]
+        diag = rows == cols
+        grads = [
+            jnp.where(diag, dg[None, :], g)
+            for g, dg in zip(grads, dgrads)
+        ]
         live = (rows < n) & (cols < n)
         vj = lax.dynamic_slice(v, (j0, jnp.zeros_like(j0)), (block, m))
         out = jnp.stack(

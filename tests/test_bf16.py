@@ -155,3 +155,28 @@ def test_analytic_diagonal_exact():
     np.testing.assert_allclose(
         np.diagonal(rec), expect, rtol=2e-5
     )
+
+
+def test_analytic_gradient_diagonal_exact():
+    """Per-parameter gradient matrices carry the analytic zero-distance
+    diagonal too (they feed the optimizer's tr(K^-1 dK) directly)."""
+    from friedrich_tpu.ops.covariance import gradient_covariances_padded
+    from friedrich_tpu.ops.distance import diag_features
+    from friedrich_tpu.ops.streamed_matvec import streamed_grad_matvec
+
+    kern = fk.SquaredExp(ls=jnp.float32(40.0), ampl=jnp.float32(2.0))
+    n = 64
+    x = jnp.asarray(RNG.normal(size=(n, 5)) * 100.0, jnp.float32)
+    expect = np.stack(
+        [np.asarray(g) for g in
+         kern.pointwise_grads(diag_features(x, kern.needs))]
+    )
+    grads = gradient_covariances_padded(kern, x, n)
+    got = np.stack([np.diagonal(np.asarray(grads[p])) for p in range(2)])
+    np.testing.assert_array_equal(got, expect)
+
+    # the streamed dK @ v path agrees with the materialized matrices
+    v = jnp.asarray(RNG.normal(size=(n, 3)), jnp.float32)
+    gv = streamed_grad_matvec(kern, x, n, v, block=16)
+    ref = np.einsum("pij,jm->pim", np.asarray(grads), np.asarray(v))
+    np.testing.assert_allclose(np.asarray(gv), ref, rtol=2e-5, atol=2e-4)
