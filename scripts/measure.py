@@ -296,7 +296,7 @@ def exp_precacc(args):
     dtype = jnp.float32
     kern, noise = _kernel_noise(dtype)
     rng = np.random.default_rng(0)
-    n = min(args.n, 8192)
+    n = min(args.n, 16384)  # host f64 reference factorization bound
     block = min(args.block, n // 4)
     x64 = rng.normal(size=(n, args.d))
     x = jnp.asarray(x64, dtype)
