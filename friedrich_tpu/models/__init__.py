@@ -4,6 +4,8 @@ from .api import GaussianProcess
 from .builder import GaussianProcessBuilder
 from .gp import (
     GPState,
+    PredictWeights,
+    derive_weights,
     add_samples_padded,
     likelihood,
     log_marginal_likelihood,
@@ -22,6 +24,8 @@ __all__ = [
     "GaussianProcess",
     "GaussianProcessBuilder",
     "GPState",
+    "PredictWeights",
+    "derive_weights",
     "MultivariateNormal",
     "add_samples_padded",
     "likelihood",

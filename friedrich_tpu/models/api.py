@@ -44,6 +44,7 @@ _posterior = jax.jit(core.posterior)
 _likelihood = jax.jit(core.likelihood)
 _lml = jax.jit(core.log_marginal_likelihood)
 _add_samples = jax.jit(core.add_samples_padded)
+_derive_weights = jax.jit(core.derive_weights)
 
 
 class GaussianProcess:
@@ -51,6 +52,26 @@ class GaussianProcess:
 
     def __init__(self, state: core.GPState):
         self._state = state
+
+    # -- derived predict weights (cached per factor/residual pair) ----------
+
+    @property
+    def _state(self) -> core.GPState:
+        return self.__state
+
+    @_state.setter
+    def _state(self, state: core.GPState) -> None:
+        self.__state = state
+        self.__weights = None  # any state change invalidates the cache
+
+    @property
+    def _weights(self) -> core.PredictWeights:
+        """``L^-1 resid`` / ``K^-1 resid``, derived lazily once per trained
+        state and reused across predict/score calls (the reference
+        re-solves per call, ``mod.rs:226-244``)."""
+        if self.__weights is None:
+            self.__weights = _derive_weights(self.__state)
+        return self.__weights
 
     # -- constructors -------------------------------------------------------
 
@@ -144,19 +165,23 @@ class GaussianProcess:
         return xq, adapter
 
     def predict(self, inputs):
-        """Posterior mean (``mod.rs:226-244``)."""
+        """Posterior mean (``mod.rs:226-244``) — sweep-free: one strip
+        GEMM against the cached ``K^-1 resid`` weights."""
         xq, adapter = self._query(inputs)
-        return adapter.vector(_predict_mean(self._state, xq))
+        return adapter.vector(_predict_mean(self._state, xq, self._weights))
 
     def predict_variance(self, inputs):
         """Latent posterior variance (``mod.rs:248-273``)."""
         xq, adapter = self._query(inputs)
-        return adapter.vector(_predict_variance(self._state, xq))
+        return adapter.vector(
+            _predict_variance(self._state, xq, self._weights)
+        )
 
     def predict_mean_variance(self, inputs):
-        """Shared-weights (mean, variance) (``mod.rs:290-326``)."""
+        """Shared-weights (mean, variance) (``mod.rs:290-326``) — one
+        forward sweep per batch against the cached ``L^-1 resid``."""
         xq, adapter = self._query(inputs)
-        mean, var = _predict_mean_variance(self._state, xq)
+        mean, var = _predict_mean_variance(self._state, xq, self._weights)
         return adapter.pair(mean, var)
 
     def predict_covariance(self, inputs) -> Array:
@@ -181,7 +206,7 @@ class GaussianProcess:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((pad, xq.shape[1]), xq.dtype)]
                 )
-            mean, var = _predict_mean_variance(self._state, chunk)
+            mean, var = _predict_mean_variance(self._state, chunk, self._weights)
             if pad and m > batch_size:
                 mean, var = mean[:-pad], var[:-pad]
             means.append(mean)
@@ -191,18 +216,18 @@ class GaussianProcess:
     def sample_at(self, inputs) -> MultivariateNormal:
         """Posterior sampler at the given points (``mod.rs:371-392``)."""
         xq, adapter = self._query(inputs)
-        mean, cov = _posterior(self._state, xq)
+        mean, cov = _posterior(self._state, xq, self._weights)
         return MultivariateNormal(mean, cov, adapter)
 
     # -- scores ---------------------------------------------------------------
 
     def likelihood(self) -> float:
         """The reference's approximate likelihood (``mod.rs:196-220``)."""
-        return float(_likelihood(self._state))
+        return float(_likelihood(self._state, self._weights))
 
     def log_marginal_likelihood(self) -> float:
         """Exact log marginal likelihood (corrected variant)."""
-        return float(_lml(self._state))
+        return float(_lml(self._state, self._weights))
 
     # -- mutation --------------------------------------------------------------
 

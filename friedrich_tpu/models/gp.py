@@ -21,7 +21,7 @@ covariance.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 
@@ -246,12 +246,24 @@ def add_samples_padded(state: GPState, x_new: Array, y_new: Array) -> GPState:
 _BLOCKED_SOLVE_THRESHOLD = 16384
 
 
-def _solve_lower(state: GPState, c: Array) -> Array:
+def _solve_lower(
+    state: GPState, c: Array, diag_inv: Optional[Array] = None
+) -> Array:
     if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
         from ..ops.blocked_solve import blocked_solve_lower
 
-        return blocked_solve_lower(state.l, c)
+        return blocked_solve_lower(state.l, c, diag_inv=diag_inv)
     return solve_triangular(state.l, c, lower=True)
+
+
+def _solve_lower_t(
+    state: GPState, c: Array, diag_inv: Optional[Array] = None
+) -> Array:
+    if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
+        from ..ops.blocked_solve import blocked_solve_lower_t
+
+        return blocked_solve_lower_t(state.l, c, diag_inv=diag_inv)
+    return solve_triangular(state.l, c, lower=True, trans=1)
 
 
 def _cho_solve(state: GPState, c: Array) -> Array:
@@ -268,31 +280,95 @@ def _train_cross(state: GPState, xq: Array) -> Array:
     )
 
 
-def predict_mean(state: GPState, xq: Array) -> Array:
-    """Posterior mean: ``prior + K(xq, X) K^-1 resid`` (``mod.rs:226-244``)."""
+class PredictWeights(NamedTuple):
+    """Query-independent solves against the trained factor, derived once
+    per (factor, residuals) pair and reused across predict batches.
+
+    The reference re-solves the training system on every predict call
+    (``mod.rs:226-244``: ``cho_solve`` per query batch). Precomputing
+
+      ``beta  = L^-1 resid``      (one forward sweep)
+      ``alpha = L^-T beta = K^-1 resid``  (one backward sweep)
+
+    makes the posterior mean a single GEMM (``prior + c^T alpha``, zero
+    triangular sweeps) and mean+variance a single forward sweep
+    (``kl = L^-1 c``; ``mean = prior + kl^T beta``) instead of the
+    two-sweep ``cho_solve`` — at n=50k the sweeps are the entire predict
+    cost, so this doubles steady-state serving throughput (BASELINE.md).
+    """
+
+    beta: Array  # (cap,) L^-1 resid (zero in the dead block)
+    alpha: Array  # (cap,) K^-1 resid (zero in the dead block)
+    #: stacked diagonal-panel inverses for the blocked sweeps (None below
+    #: the blocked-solve threshold): makes every per-batch sweep pure
+    #: GEMM — the per-call panel TRSMs were the measured reason solve
+    #: throughput FELL with panel size (BASELINE.md round-2 predict)
+    diag_inv: Optional[Array] = None
+
+
+def derive_weights(state: GPState) -> PredictWeights:
+    """Compute :class:`PredictWeights` (two m=1 sweeps + the panel
+    inverses, O(n^2) + O(n b^2 /2) — amortized across predict batches)."""
+    with jax.named_scope("gp/derive_weights"):
+        diag_inv = None
+        if (
+            state.capacity > _BLOCKED_SOLVE_THRESHOLD
+            and state.l.dtype == jnp.float32
+        ):
+            from ..ops.blocked_solve import panel_inverses
+
+            diag_inv = panel_inverses(state.l)
+        beta = _solve_lower(state, state.resid, diag_inv)
+        alpha = _solve_lower_t(state, beta, diag_inv)
+    return PredictWeights(beta=beta, alpha=alpha, diag_inv=diag_inv)
+
+
+def predict_mean(
+    state: GPState, xq: Array, weights: Optional[PredictWeights] = None
+) -> Array:
+    """Posterior mean: ``prior + K(xq, X) K^-1 resid`` (``mod.rs:226-244``).
+
+    With ``weights`` (see :func:`derive_weights`) the solve drops out
+    entirely: one covariance strip + one GEMM against ``alpha``."""
     with jax.named_scope("gp/predict_mean"):
         c = _train_cross(state, xq)
+        if weights is not None:
+            return state.prior.mean(xq) + c.T @ weights.alpha
         w = _cho_solve(state, c)
         return state.prior.mean(xq) + w.T @ state.resid
 
 
-def predict_variance(state: GPState, xq: Array) -> Array:
+def predict_variance(
+    state: GPState, xq: Array, weights: Optional[PredictWeights] = None
+) -> Array:
     """Latent predictive variance — observation noise NOT added back,
     matching ``mod.rs:248-273`` (see ``:266-269``)."""
     with jax.named_scope("gp/predict_variance"):
         c = _train_cross(state, xq)
-        kl = _solve_lower(state, c)
+        kl = _solve_lower(
+            state, c, weights.diag_inv if weights is not None else None
+        )
         base = kernel_diag(state.kernel, xq)
         return base - jnp.sum(kl * kl, axis=0)
 
 
-def predict_mean_variance(state: GPState, xq: Array) -> tuple[Array, Array]:
-    """Shared-weights mean+variance (``mod.rs:290-326``)."""
+def predict_mean_variance(
+    state: GPState, xq: Array, weights: Optional[PredictWeights] = None
+) -> tuple[Array, Array]:
+    """Shared-weights mean+variance (``mod.rs:290-326``).
+
+    With ``weights``: ONE forward sweep (``kl``) serves both the mean
+    (``kl^T beta``) and the variance (``sum kl^2``), halving the
+    per-batch solve cost vs the two-sweep ``cho_solve`` form."""
     with jax.named_scope("gp/predict_mean_variance"):
         c = _train_cross(state, xq)
+        base = kernel_diag(state.kernel, xq)
+        if weights is not None:
+            kl = _solve_lower(state, c, weights.diag_inv)
+            mean = state.prior.mean(xq) + kl.T @ weights.beta
+            return mean, base - jnp.sum(kl * kl, axis=0)
         w = _cho_solve(state, c)
         mean = state.prior.mean(xq) + w.T @ state.resid
-        base = kernel_diag(state.kernel, xq)
         var = base - jnp.sum(c * w, axis=0)  # column-dot form of mod.rs:314-319
         return mean, var
 
@@ -306,13 +382,23 @@ def predict_covariance(state: GPState, xq: Array) -> Array:
     return kqq - kl.T @ kl
 
 
-def posterior(state: GPState, xq: Array) -> tuple[Array, Array]:
+def posterior(
+    state: GPState, xq: Array, weights: Optional[PredictWeights] = None
+) -> tuple[Array, Array]:
     """(mean, covariance) of the posterior at ``xq`` — the ``sample_at``
     computation (``mod.rs:371-392``), which uses ``Kq^T K^-1 Kq`` rather
-    than the triangular form."""
+    than the triangular form.
+
+    With ``weights``: one forward sweep; the covariance uses the
+    (equivalent, PSD-by-construction) triangular form ``kl^T kl``."""
     c = _train_cross(state, xq)
-    w = _cho_solve(state, c)
     kqq = cross_covariance(state.kernel, xq, xq, method=state.method)
+    if weights is not None:
+        kl = _solve_lower(state, c, weights.diag_inv)
+        cov = kqq - kl.T @ kl
+        mean = state.prior.mean(xq) + kl.T @ weights.beta
+        return mean, cov
+    w = _cho_solve(state, c)
     cov = kqq - c.T @ w
     mean = state.prior.mean(xq) + w.T @ state.resid
     return mean, cov
@@ -323,15 +409,20 @@ def posterior(state: GPState, xq: Array) -> tuple[Array, Array]:
 # ---------------------------------------------------------------------------
 
 
-def likelihood(state: GPState) -> Array:
+def likelihood(
+    state: GPState, weights: Optional[PredictWeights] = None
+) -> Array:
     """The reference's ``likelihood()`` — REPLICATED APPROXIMATION.
 
     Its complexity penalty sums ``ln|k(x_i, x_i) + noise^2|`` over training
     points (``mod.rs:208-213``), which is NOT the true log-determinant; the
     exact score is :func:`log_marginal_likelihood`. Replicated verbatim for
-    parity (``mod.rs:196-220``).
+    parity (``mod.rs:196-220``). ``weights.beta`` (if given) IS the
+    forward solve ``L^-1 resid`` — the sweep is skipped.
     """
-    ol = _solve_lower(state, state.resid)
+    ol = weights.beta if weights is not None else _solve_lower(
+        state, state.resid
+    )
     data_fit = jnp.sum(ol * ol)
     diag = kernel_diag(state.kernel, state.x) + state.noise * state.noise
     live = jnp.arange(state.capacity) < state.n
@@ -340,10 +431,14 @@ def likelihood(state: GPState) -> Array:
     return -(data_fit + complexity + norm) / 2.0
 
 
-def log_marginal_likelihood(state: GPState) -> Array:
+def log_marginal_likelihood(
+    state: GPState, weights: Optional[PredictWeights] = None
+) -> Array:
     """Exact log marginal likelihood (corrected variant):
     ``-1/2 (r^T K^-1 r + ln|K| + n ln 2pi)`` with ``ln|K| = 2 sum ln L_ii``."""
-    ol = _solve_lower(state, state.resid)
+    ol = weights.beta if weights is not None else _solve_lower(
+        state, state.resid
+    )
     data_fit = jnp.sum(ol * ol)
     diag_l = jnp.diagonal(state.l)
     live = jnp.arange(state.capacity) < state.n

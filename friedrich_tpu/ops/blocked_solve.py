@@ -82,12 +82,38 @@ def _blocked_solve(l_mat: Array, c: Array, block: int, transposed: bool) -> Arra
     return lax.fori_loop(0, num, panel, jnp.zeros((n, m), dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def panel_inverses(l_mat: Array, block: int = 2048) -> Array:
+    """Stacked inverses of the factor's diagonal panels, ``(num, b, b)``.
+
+    The unrolled f32 sweeps replace each diagonal TRSM with ``inv @ rhs``
+    GEMMs; computing the inverses is itself a TRSM per panel
+    (O(n b^2 / 2) total) that a repeated-predict caller pays on EVERY
+    batch. Precomputing them once (e.g. into the facade's
+    ``PredictWeights`` cache) makes the per-batch sweep pure GEMM —
+    measured: the recomputed inverses were why solve throughput *fell*
+    with larger panels (b^2 per-panel TRSM growth, BASELINE.md round-2
+    predict table). Memory: ``n*b`` floats (400 MB at n=50k, b=2000).
+    """
+    n = l_mat.shape[0]
+    b = _pick_block(n, block)
+    from .cholesky import lower_inverse
+
+    starts = jnp.arange(n // b) * b
+    blocks = jax.vmap(
+        lambda j0: lax.dynamic_slice(l_mat, (j0, j0), (b, b))
+    )(starts)
+    return jax.vmap(lower_inverse)(blocks)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "transposed"))
 def _blocked_solve_unrolled(
-    l_mat: Array, c: Array, block: int, transposed: bool
+    l_mat: Array, c: Array, block: int, transposed: bool,
+    diag_inv: Optional[Array] = None,
 ) -> Array:
     """Trace-time-unrolled panel sweep: static triangular widths (the
-    theoretical MAC count) and, on f32, inverse-GEMM diagonal solves."""
+    theoretical MAC count) and, on f32, inverse-GEMM diagonal solves
+    (precomputed via :func:`panel_inverses` when ``diag_inv`` is given)."""
     from .cholesky import lower_inverse
 
     n = l_mat.shape[0]
@@ -96,9 +122,9 @@ def _blocked_solve_unrolled(
     dtype = c.dtype
     f32 = dtype == jnp.float32
 
-    def diag_solve(ld, rhs, trans):
+    def diag_solve(ld, rhs, trans, j):
         if f32:
-            inv = lower_inverse(ld)
+            inv = lower_inverse(ld) if diag_inv is None else diag_inv[j]
             a = inv.T if trans else inv
             return jnp.dot(a, rhs, preferred_element_type=dtype)
         return solve_triangular(ld, rhs, lower=True, trans=1 if trans else 0)
@@ -115,7 +141,7 @@ def _blocked_solve_unrolled(
                     l_left, y_done, preferred_element_type=dtype
                 )
             ld = lax.slice(l_mat, (j0, j0), (j0 + block, j0 + block))
-            yj = diag_solve(ld, rhs, trans=False)
+            yj = diag_solve(ld, rhs, trans=False, j=j)
             y = lax.dynamic_update_slice(y, yj, (j0, 0))
         return y
 
@@ -131,37 +157,55 @@ def _blocked_solve_unrolled(
                 l_below.T, x_done, preferred_element_type=dtype
             )
         ld = lax.slice(l_mat, (j0, j0), (j0 + block, j0 + block))
-        xj = diag_solve(ld, rhs, trans=True)
+        xj = diag_solve(ld, rhs, trans=True, j=j)
         y = lax.dynamic_update_slice(y, xj, (j0, 0))
     return y
 
 
 def _solve(l_mat: Array, c: Array, block: int, transposed: bool,
-           unroll: Optional[bool]) -> Array:
+           unroll: Optional[bool], diag_inv: Optional[Array]) -> Array:
     c2 = c if c.ndim == 2 else c[:, None]
-    b = _pick_block(l_mat.shape[0], block)
+    if diag_inv is not None:
+        # the cache fixes the panel size; ignore the block argument
+        b = diag_inv.shape[1]
+        if b * diag_inv.shape[0] != l_mat.shape[0]:
+            raise ValueError(
+                f"diag_inv {diag_inv.shape} does not tile factor of size "
+                f"{l_mat.shape[0]}"
+            )
+    else:
+        b = _pick_block(l_mat.shape[0], block)
     if unroll is None:
         unroll = l_mat.shape[0] // b <= MAX_UNROLL_PANELS
-    impl = _blocked_solve_unrolled if unroll else _blocked_solve
-    y = impl(l_mat, c2, b, transposed)
+    if unroll:
+        y = _blocked_solve_unrolled(l_mat, c2, b, transposed, diag_inv)
+    else:
+        y = _blocked_solve(l_mat, c2, b, transposed)
     return y if c.ndim == 2 else y[:, 0]
 
 
 def blocked_solve_lower(l_mat: Array, c: Array, block: int = 2048,
-                        unroll: Optional[bool] = None) -> Array:
-    """Solve ``L y = c`` (lower-triangular L) with panel sweeps."""
-    return _solve(l_mat, c, block, False, unroll)
+                        unroll: Optional[bool] = None,
+                        diag_inv: Optional[Array] = None) -> Array:
+    """Solve ``L y = c`` (lower-triangular L) with panel sweeps.
+
+    ``diag_inv``: precomputed :func:`panel_inverses` — removes the
+    per-call diagonal TRSMs (f32 unrolled path only)."""
+    return _solve(l_mat, c, block, False, unroll, diag_inv)
 
 
 def blocked_solve_lower_t(l_mat: Array, c: Array, block: int = 2048,
-                          unroll: Optional[bool] = None) -> Array:
+                          unroll: Optional[bool] = None,
+                          diag_inv: Optional[Array] = None) -> Array:
     """Solve ``L^T x = c`` with panel sweeps."""
-    return _solve(l_mat, c, block, True, unroll)
+    return _solve(l_mat, c, block, True, unroll, diag_inv)
 
 
 def blocked_cho_solve(l_mat: Array, c: Array, block: int = 2048,
-                      unroll: Optional[bool] = None) -> Array:
+                      unroll: Optional[bool] = None,
+                      diag_inv: Optional[Array] = None) -> Array:
     """``(L L^T)^-1 c`` via the two sweeps."""
     return blocked_solve_lower_t(
-        l_mat, blocked_solve_lower(l_mat, c, block, unroll), block, unroll
+        l_mat, blocked_solve_lower(l_mat, c, block, unroll, diag_inv),
+        block, unroll, diag_inv,
     )

@@ -187,15 +187,50 @@ def exp_predict(args):
 
         @jax.jit
         def predict(l_mat, x, resid, xq):
-            # the library's actual large-n predict path (models/gp.py):
-            # loop-blocked sweeps, unrolled static-width panels on f32
+            # legacy two-sweep path (cho_solve form, pre-weights-cache)
             c = cross_covariance_train_padded(kern, x, n, xq)
             kl = blocked_solve_lower(l_mat, c)
             w = blocked_solve_lower_t(l_mat, kl)
             return w.T @ resid, kernel_diag(kern, xq) - jnp.sum(kl * kl, axis=0)
 
         t = timeit(predict, l_mat, x, resid, xq, r=args.repeats)
-        emit(exp="predict_mean_var", n=n, m=m, seconds=round(t, 4),
+        emit(exp="predict_mean_var_legacy", n=n, m=m, seconds=round(t, 4),
+             points_per_sec=round(m / t))
+
+        # the library's current facade path: derive_weights once (panel
+        # inverses + beta/alpha), then one pure-GEMM sweep per batch
+        from friedrich_tpu.ops.blocked_solve import panel_inverses
+
+        @jax.jit
+        def derive(l_mat, resid):
+            dinv = panel_inverses(l_mat)
+            beta = blocked_solve_lower(l_mat, resid, diag_inv=dinv)
+            return dinv, beta, blocked_solve_lower_t(
+                l_mat, beta, diag_inv=dinv
+            )
+
+        dinv, beta, alpha = jax.block_until_ready(derive(l_mat, resid))
+        td = timeit(derive, l_mat, resid, r=args.repeats)
+        emit(exp="predict_derive_weights", n=n, seconds=round(td, 4))
+
+        @jax.jit
+        def predict_w(l_mat, x, dinv, beta, xq):
+            c = cross_covariance_train_padded(kern, x, n, xq)
+            kl = blocked_solve_lower(l_mat, c, diag_inv=dinv)
+            return kl.T @ beta, kernel_diag(kern, xq) - jnp.sum(kl * kl, axis=0)
+
+        t = timeit(predict_w, l_mat, x, dinv, beta, xq, r=args.repeats)
+        emit(exp="predict_mean_var_weights", n=n, m=m, seconds=round(t, 4),
+             points_per_sec=round(m / t))
+
+        @jax.jit
+        def predict_mean_only(l_mat, x, alpha, xq):
+            # sweep-free mean: strip build + one GEMM against K^-1 resid
+            c = cross_covariance_train_padded(kern, x, n, xq)
+            return c.T @ alpha
+
+        t = timeit(predict_mean_only, l_mat, x, alpha, xq, r=args.repeats)
+        emit(exp="predict_mean_only_weights", n=n, m=m, seconds=round(t, 4),
              points_per_sec=round(m / t))
     except Exception as e:
         emit(exp="predict", n=n, m=m, error=str(e)[:300])
@@ -345,6 +380,51 @@ def exp_precacc(args):
                  error=str(e)[:300])
 
 
+def exp_solveblock(args):
+    """Forward-sweep block sweep: the weights-path predict cost is one
+    blocked_solve_lower per batch; find the panel size that maximizes its
+    GEMM rate at n=50k, m=4096."""
+    from friedrich_tpu.ops.blocked_solve import blocked_solve_lower
+    from friedrich_tpu.ops.covariance import cross_covariance_train_padded
+    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
+
+    dtype = jnp.float32
+    kern, noise = _kernel_noise(dtype)
+    rng = np.random.default_rng(0)
+    n, m = args.n, args.m
+    x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
+    l_mat, _ = streamed_cholesky_factor(kern, x, n, noise, block=2048)
+    jax.block_until_ready(l_mat)
+    xq = jnp.asarray(rng.normal(size=(m, args.d)), dtype)
+    c = jax.jit(
+        lambda x, xq: cross_covariance_train_padded(kern, x, n, xq)
+    )(x, xq)
+    jax.block_until_ready(c)
+    from friedrich_tpu.ops.blocked_solve import panel_inverses
+
+    for b in (1250, 2000, 2500, 3125, 5000, 6250):
+        try:
+            f = jax.jit(
+                lambda l, c, b=b: blocked_solve_lower(l, c, block=b)
+            )
+            t = timeit(f, l_mat, c, r=args.repeats)
+            emit(exp="solve_block", n=n, m=m, block=b, seconds=round(t, 4),
+                 eff_tmacs=round(n * n * m / 2 / t / 1e12, 1))
+        except Exception as e:
+            emit(exp="solve_block", n=n, block=b, error=str(e)[:200])
+        try:
+            dinv = jax.block_until_ready(panel_inverses(l_mat, block=b))
+            f = jax.jit(lambda l, c, d: blocked_solve_lower(l, c, diag_inv=d))
+            t = timeit(f, l_mat, c, dinv, r=args.repeats)
+            emit(exp="solve_block_cached_inv", n=n, m=m, block=b,
+                 seconds=round(t, 4),
+                 eff_tmacs=round(n * n * m / 2 / t / 1e12, 1))
+            del dinv
+        except Exception as e:
+            emit(exp="solve_block_cached_inv", n=n, block=b,
+                 error=str(e)[:200])
+
+
 def exp_gemm(args):
     """Raw GEMM roofline probe: the chip's achievable matmul rate per
     dtype AND per MXU precision mode (f32 operands: 1/3/6 bf16 passes) —
@@ -380,7 +460,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("exps", nargs="+",
                    choices=["factor", "cov", "predict", "nuts", "gemm",
-                            "diag", "precacc", "all"])
+                            "diag", "precacc", "solveblock", "all"])
     p.add_argument("--backend", default="hybrid",
                    choices=["dense", "streamed", "tiled", "hybrid"])
     p.add_argument("--n", type=int, default=50000)
@@ -406,7 +486,8 @@ def main(argv=None):
     for e in exps:
         {"factor": exp_factor, "cov": exp_cov, "predict": exp_predict,
          "nuts": exp_nuts, "gemm": exp_gemm, "diag": exp_diag,
-         "precacc": exp_precacc}[e](args)
+         "precacc": exp_precacc,
+         "solveblock": exp_solveblock}[e](args)
 
 
 if __name__ == "__main__":
