@@ -5,8 +5,10 @@ End-to-end large-n path combining the distributed pieces:
 - **build**: row-sharded streamed Cholesky (``distributed_cholesky.py``) —
   K never materialized, factor stays sharded;
 - **predict**: SHARD-LOCAL covariance strips (each device builds its
-  cap/D rows) + distributed triangular sweeps (``distributed_solve.py``)
-  for mean/variance/weights;
+  cap/D rows) + distributed triangular sweeps (``distributed_solve.py``),
+  with the query-independent solves (beta = L^-1 r, alpha = K^-1 r) cached
+  per trained state: mean-only predicts run ZERO distributed sweeps (no
+  per-panel collectives at all), mean+variance exactly one;
 - **fit**: the reference's scaled ADAM rules (``optimizer.rs:211-283``)
   with the two O(n^3)-dense quantities replaced by factor-based solves and
   a Hutchinson trace estimator:
@@ -97,8 +99,32 @@ class LargeScaleGP:
             self.mesh, self.kernel, self.x, self.n, self.noise,
             eps=self.eps, block=self.block, method=self.method,
         )
+        self._cached_weights = None
         if not bool(ok):
             raise CholeskyError()
+
+    # -- cached predict weights ----------------------------------------------
+
+    @property
+    def _weights(self) -> tuple[Array, Array]:
+        """``(beta, alpha) = (L^-1 r, K^-1 r)`` — the query-independent
+        solves, derived once per (factor, residuals) pair and reused across
+        predict/score calls (mirrors ``models.derive_weights`` at scale;
+        the reference re-solves per call, ``mod.rs:226-244``).
+
+        At pod scale this matters more than on one chip: a sweep-free
+        mean-only predict runs ZERO distributed sweeps — no per-panel
+        collectives at all, just the shard-local strip build and one
+        GEMM+psum — and mean+variance drops from two sweeps to one."""
+        if self._cached_weights is None:
+            beta = distributed_solve_lower(
+                self.mesh, self.l_sharded, self.resid[:, None], self.block
+            )[:, 0]
+            alpha = distributed_solve_lower_t(
+                self.mesh, self.l_sharded, beta[:, None], self.block
+            )[:, 0]
+            self._cached_weights = (beta, alpha)
+        return self._cached_weights
 
     # -- prediction ---------------------------------------------------------
 
@@ -116,18 +142,22 @@ class LargeScaleGP:
         )
 
     def predict(self, xq: Array) -> Array:
-        kl = self._solve_lower_strip(self._cross(xq))
-        w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
-        return self.prior.mean(xq) + w.T @ self.resid
+        """Sweep-free mean: shard-local strip + one GEMM against the cached
+        ``K^-1 resid`` (``c^T alpha`` ≡ the legacy ``w^T resid``)."""
+        _, alpha = self._weights
+        c = self._cross(xq)
+        return self.prior.mean(xq) + c.T @ alpha
 
     def predict_variance(self, xq: Array) -> Array:
         kl = self._solve_lower_strip(self._cross(xq))
         return kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
 
     def predict_mean_variance(self, xq: Array) -> tuple[Array, Array]:
+        """ONE distributed forward sweep serves both moments: the mean is
+        ``kl^T beta`` (≡ ``w^T resid``), the variance ``sum kl^2``."""
+        beta, _ = self._weights
         kl = self._solve_lower_strip(self._cross(xq))
-        w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
-        mean = self.prior.mean(xq) + w.T @ self.resid
+        mean = self.prior.mean(xq) + kl.T @ beta
         var = kernel_diag(self.kernel, xq) - jnp.sum(kl * kl, axis=0)
         return mean, var
 
@@ -194,6 +224,7 @@ class LargeScaleGP:
             )
         self.l_sharded = new_l
         self.n += k
+        self._cached_weights = None
 
     def predict_in_batches(
         self, xq: Array, batch_size: int = 8192
@@ -223,11 +254,11 @@ class LargeScaleGP:
         from ..models.multivariate_normal import MultivariateNormal
         from ..ops.covariance import cross_covariance
 
+        beta, _ = self._weights
         kl = self._solve_lower_strip(self._cross(xq))
-        w = distributed_solve_lower_t(self.mesh, self.l_sharded, kl, self.block)
         kqq = cross_covariance(self.kernel, xq, xq, method=self.method)
         cov = kqq - kl.T @ kl
-        mean = self.prior.mean(xq) + w.T @ self.resid
+        mean = self.prior.mean(xq) + kl.T @ beta
         return MultivariateNormal(mean, cov)
 
     # -- scores --------------------------------------------------------------
@@ -235,10 +266,8 @@ class LargeScaleGP:
     def likelihood(self) -> float:
         """The reference's approximate likelihood (``mod.rs:196-220``),
         replicated at scale: complexity term sums ``ln|k(x_i,x_i)+noise^2|``
-        over live points."""
-        ol = distributed_solve_lower(
-            self.mesh, self.l_sharded, self.resid[:, None], self.block
-        )[:, 0]
+        over live points. Uses the cached ``beta = L^-1 r`` (no sweep)."""
+        ol = self._weights[0]
         data_fit = float(jnp.sum(ol * ol))
         diag = kernel_diag(self.kernel, self.x) + self.noise * self.noise
         live = jnp.arange(self.x.shape[0]) < self.n
@@ -250,9 +279,7 @@ class LargeScaleGP:
         ) / 2.0
 
     def log_marginal_likelihood(self) -> float:
-        ol = distributed_solve_lower(
-            self.mesh, self.l_sharded, self.resid[:, None], self.block
-        )[:, 0]
+        ol = self._weights[0]
         data_fit = float(jnp.sum(ol * ol))
         # diagonal extracted on-device (SPMD-safe; never pulls the (cap, cap)
         # sharded factor to the host)
@@ -360,6 +387,7 @@ class LargeScaleGP:
                     "hyperparameters; consider `cholesky_epsilon`."
                 )
             self.l_sharded, self.kernel, self.noise = l_new, kernel, noise
+            self._cached_weights = None
             if (not bool(progress)) or (time.monotonic() - t0 > max_time):
                 break
 

@@ -181,6 +181,44 @@ def test_large_scale_predict_in_batches():
     np.testing.assert_allclose(np.asarray(vb), np.asarray(v), rtol=1e-10, atol=1e-13)
 
 
+def test_large_scale_weights_cache_reuse_and_invalidation():
+    """The (beta, alpha) cache must be derived once, reused across calls,
+    and dropped on every mutation (fit, add_samples) — a stale cache would
+    silently corrupt predictions."""
+    x, y = _data(n=96)
+    mesh = make_matrix_mesh(8)
+    big = LargeScaleGP(
+        mesh, fk.SquaredExp(ls=1.0, ampl=1.1), fp.ZeroPrior(), 0.3, x, y,
+        block=16, capacity=112,
+    )
+    assert big._cached_weights is None
+    xq = jnp.asarray(RNG.normal(size=(5, 2)))
+    before = np.asarray(big.predict(xq))
+    w0 = big._cached_weights
+    assert w0 is not None
+    _ = big.predict_mean_variance(xq)
+    assert big._cached_weights is w0  # reused, not re-derived
+
+    big.fit_scaled(max_iter=2, convergence_fraction=1e-12)
+    assert big._cached_weights is None  # fit dropped it
+    after_fit = np.asarray(big.predict(xq))
+    assert not np.allclose(before, after_fit)
+
+    xn = jnp.asarray(RNG.normal(size=(6, 2)))
+    yn = jnp.asarray(RNG.normal(size=(6,)))
+    big.add_samples(xn, yn)
+    assert big._cached_weights is None  # append dropped it
+    got = np.asarray(big.predict(xq))
+    # must agree with a fresh model on the union + identical hyperparams
+    fresh = LargeScaleGP(
+        mesh, big.kernel, fp.ZeroPrior(), float(big.noise),
+        jnp.concatenate([x, xn]), jnp.concatenate([y, yn]), block=16,
+    )
+    np.testing.assert_allclose(
+        got, np.asarray(fresh.predict(xq)), rtol=1e-8, atol=1e-10
+    )
+
+
 def test_large_scale_auto_grow_append():
     x, y = _data(n=64)
     mesh = make_matrix_mesh(8)
