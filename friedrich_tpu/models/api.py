@@ -105,8 +105,11 @@ class GaussianProcess:
         method: str = "gram",
         capacity: Optional[int] = None,
         backend: str = "dense",
+        storage: Optional[str] = None,
+        dtype=None,
     ) -> "GaussianProcess":
-        """Raw constructor (``mod.rs:142-167``)."""
+        """Raw constructor (``mod.rs:142-167``). ``dtype`` overrides the
+        ambient default compute dtype (see builder ``set_dtype``)."""
         if noise < 0:
             raise ConfigError(
                 f"The noise parameter should be non-negative but we tried to "
@@ -114,15 +117,15 @@ class GaussianProcess:
             )
         if cholesky_epsilon is not None and cholesky_epsilon <= 0:
             raise ConfigError("cholesky_epsilon must be strictly positive")
-        x, _ = as_input_matrix(training_inputs)
-        y = as_output_vector(training_outputs)
+        x, _ = as_input_matrix(training_inputs, dtype=dtype)
+        y = as_output_vector(training_outputs, dtype=dtype)
         if x.shape[0] != y.shape[0]:
             raise ShapeError(
                 f"{x.shape[0]} input rows vs {y.shape[0]} outputs"
             )
         state, ok = core.make_state(
             kernel, prior, noise, x, y, eps=cholesky_epsilon, method=method,
-            cap=capacity, backend=backend,
+            cap=capacity, backend=backend, storage=storage,
         )
         if not bool(ok):
             raise CholeskyError()
@@ -249,6 +252,22 @@ class GaussianProcess:
             # amortized growth, extendable_matrix.rs:38 (x1.5 policy)
             new_cap = max(n + k, math.ceil(cap * GROWTH_FACTOR))
             self._state = core.grow_capacity(self._state, new_cap)
+        if self._state.storage == "bf16":
+            # rank-updates against the ROUNDED factor go indefinite (see
+            # core.add_samples_rebuild) — refactorize instead: O(n^3) but
+            # atomic, and the transient old+new bf16 factors cost one f32
+            # factor
+            new_state, ok = core.add_samples_rebuild(
+                self._state, x_new, y_new.astype(self._state.resid.dtype)
+            )
+            if not bool(ok):
+                raise CholeskyError(
+                    "add_samples: refactorization with the new points "
+                    "failed; consider setting `cholesky_epsilon` or "
+                    "increasing the noise. The model was left unchanged."
+                )
+            self._state = new_state
+            return
         new_state = _add_samples(
             self._state, x_new, y_new.astype(self._state.resid.dtype)
         )

@@ -51,6 +51,8 @@ class GaussianProcessBuilder:
         self._method = "gram"
         self._capacity: Optional[int] = None
         self._backend = "dense"
+        self._storage: Optional[str] = None
+        self._dtype = None
 
     # -- setters (builder.rs:102-182) ----------------------------------------
 
@@ -122,22 +124,53 @@ class GaussianProcessBuilder:
         self._backend = backend
         return self
 
+    def set_dtype(self, dtype) -> "GaussianProcessBuilder":
+        """Compute dtype for the model ('float32'/'float64' or a dtype
+        object). Overrides the ambient default (float64 under
+        ``jax_enable_x64`` parity mode, float32 otherwise) — the knob for
+        building f32 PERFORMANCE models while the process runs in x64
+        parity mode, and a prerequisite for ``set_factor_storage('bf16')``
+        there."""
+        dtype = jnp.dtype(dtype)
+        if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+            raise ConfigError(
+                f"model dtype must be float32 or float64, got {dtype}"
+            )
+        self._dtype = dtype
+        return self
+
+    def set_factor_storage(self, storage: Optional[str]) -> "GaussianProcessBuilder":
+        """Factor STORAGE dtype: None (input dtype, default) or 'bf16'
+        (bfloat16 factor, float32 compute — halves factor HBM, so exact GPs
+        reach n~80k on one 16 GB chip; requires the 'streamed' backend and
+        float32 inputs). See ``ops/streamed.streamed_cholesky_factor``."""
+        if storage not in (None, "bf16"):
+            raise ConfigError(f"unknown factor storage {storage!r}")
+        self._storage = storage
+        return self
+
     # -- train (builder.rs:189-214) ----------------------------------------------
 
     def train(self) -> GaussianProcess:
+        x, y = self._x, self._y
+        if self._dtype is not None:
+            x = x.astype(self._dtype)
+            y = y.astype(self._dtype)
         kernel = self._kernel
         if self._should_fit_kernel:
-            kernel = kernel.heuristic_fit(self._x, self._y)
+            kernel = kernel.heuristic_fit(x, y)
         gp = GaussianProcess.new(
             self._prior,
             kernel,
             self._noise,
             self._cholesky_epsilon,
-            self._x,
-            self._y,
+            x,
+            y,
             method=self._method,
             capacity=self._capacity,
             backend=self._backend,
+            storage=self._storage,
+            dtype=self._dtype,
         )
         if self._should_fit_prior or self._should_fit_kernel:
             gp.fit_parameters(

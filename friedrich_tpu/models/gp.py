@@ -65,6 +65,10 @@ class GPState:
     # "tiled": in-place MAC-optimal tiled factorization;
     # "hybrid": half-split streamed+TRSM+SYRK+tiled (fastest large n)
     backend: str = struct.field(pytree_node=False, default="dense")
+    # factor STORAGE dtype: None (input dtype) or "bf16" (bfloat16 factor,
+    # f32 compute — halves factor HBM; streamed backend only). See
+    # ops/streamed.streamed_cholesky_factor.
+    storage: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def capacity(self) -> int:
@@ -93,25 +97,33 @@ _AUTO_LARGE_THRESHOLD = 8192
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend,
-                  l0=None):
+                  l0=None, storage=None):
     with jax.named_scope(f"gp/build_factor[{backend}]"):
         return _build_factor_impl(
-            kernel, x_pad, n_arr, noise, eps, method, backend, l0
+            kernel, x_pad, n_arr, noise, eps, method, backend, l0, storage
         )
 
 
 def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
-                       l0=None):
+                       l0=None, storage=None):
     if backend == "auto":
         # Above the dense threshold the trace-time-unrolled streamed
         # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
         # and peak HBM (single L buffer) — see ops/streamed.py.
         backend = "streamed" if x_pad.shape[0] > _AUTO_LARGE_THRESHOLD else "dense"
+    if storage is not None and backend != "streamed":
+        from ..utils.errors import ConfigError
+
+        raise ConfigError(
+            f"factor storage {storage!r} requires the 'streamed' backend "
+            f"(got {backend!r})"
+        )
     if backend == "streamed":
         from ..ops.streamed import streamed_cholesky_factor
 
         return streamed_cholesky_factor(
-            kernel, x_pad, n_arr, noise, eps=eps, method=method, l0=l0
+            kernel, x_pad, n_arr, noise, eps=eps, method=method, l0=l0,
+            storage=storage,
         )
     if backend == "tiled":
         from ..ops.tiled import tiled_cholesky_factor
@@ -139,6 +151,7 @@ def make_state(
     method: str = "gram",
     cap: Optional[int] = None,
     backend: str = "dense",
+    storage: Optional[str] = None,
 ) -> tuple[GPState, Array]:
     """Build a trained state from live data (``GaussianProcess::new``,
     ``mod.rs:142-167``): residualize against the prior, build the padded
@@ -159,7 +172,9 @@ def make_state(
     resid = y - prior.mean(x)
     x_pad, r_pad = pad_capacity(x, resid, cap)
     n_arr = jnp.asarray(n, dtype=jnp.int32)
-    l_pad, ok = _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend)
+    l_pad, ok = _build_factor(
+        kernel, x_pad, n_arr, noise, eps, method, backend, storage=storage
+    )
     state = GPState(
         x=x_pad,
         resid=r_pad,
@@ -171,6 +186,7 @@ def make_state(
         eps=eps,
         method=method,
         backend=backend,
+        storage=storage,
     )
     return state, ok
 
@@ -188,6 +204,7 @@ def rebuild_cholesky(state: GPState,
         state.kernel, state.x, state.n, state.noise, state.eps, state.method,
         state.backend,
         l0=state.l if reuse_buffer else None,
+        storage=state.storage,
     )
     return state.replace(l=l_pad), ok
 
@@ -236,6 +253,31 @@ def add_samples_padded(state: GPState, x_new: Array, y_new: Array) -> GPState:
     return state.replace(x=x_pad, resid=r_pad, l=l_pad, n=state.n + k)
 
 
+def add_samples_rebuild(state: GPState, x_new: Array,
+                        y_new: Array) -> tuple[GPState, Array]:
+    """Append samples by FULL refactorization — the bf16-STORAGE append.
+
+    The O(n^2 k) rank-update solves ``S = L^-1 K12`` against the stored
+    factor; with ``storage="bf16"`` that factor carries ~2^-8 relative
+    rounding which amplifies through ``S^T S`` and routinely drives the
+    appended Schur complement ``K22 - S^T S`` indefinite (measured: fails
+    at n=500, noise=0.1 where the f32-stored rank-update succeeds). So
+    bf16-stored models append by updating the data buffers and
+    refactorizing — O(n^3), but atomic and exact-to-storage. Memory is
+    safe wherever the f32 model would have fit: the transient old+new
+    bf16 factors together cost exactly one f32 factor.
+
+    Returns ``(state, ok)`` like :func:`make_state`.
+    """
+    k = x_new.shape[0]
+    r_new = y_new - state.prior.mean(x_new)
+    zero = jnp.zeros_like(state.n)
+    x_pad = lax.dynamic_update_slice(state.x, x_new, (state.n, zero))
+    r_pad = lax.dynamic_update_slice(state.resid, r_new, (state.n,))
+    state = state.replace(x=x_pad, resid=r_pad, n=state.n + k)
+    return rebuild_cholesky(state)
+
+
 # ---------------------------------------------------------------------------
 # Prediction (``mod.rs:226-350``)
 # ---------------------------------------------------------------------------
@@ -246,6 +288,15 @@ def add_samples_padded(state: GPState, x_new: Array, y_new: Array) -> GPState:
 _BLOCKED_SOLVE_THRESHOLD = 16384
 
 
+def _l_solve_dtype(state: GPState, c: Array) -> Array:
+    """The factor cast to the RHS dtype for MONOLITHIC solves. The blocked
+    sweeps read a bf16-STORAGE factor natively (panel GEMMs promote, diagonal
+    blocks are inverted in f32 — ``ops/blocked_solve``); XLA's
+    ``solve_triangular`` needs matching dtypes, and below the blocked
+    threshold the full-factor cast is cheap."""
+    return state.l if state.l.dtype == c.dtype else state.l.astype(c.dtype)
+
+
 def _solve_lower(
     state: GPState, c: Array, diag_inv: Optional[Array] = None
 ) -> Array:
@@ -253,7 +304,7 @@ def _solve_lower(
         from ..ops.blocked_solve import blocked_solve_lower
 
         return blocked_solve_lower(state.l, c, diag_inv=diag_inv)
-    return solve_triangular(state.l, c, lower=True)
+    return solve_triangular(_l_solve_dtype(state, c), c, lower=True)
 
 
 def _solve_lower_t(
@@ -263,7 +314,7 @@ def _solve_lower_t(
         from ..ops.blocked_solve import blocked_solve_lower_t
 
         return blocked_solve_lower_t(state.l, c, diag_inv=diag_inv)
-    return solve_triangular(state.l, c, lower=True, trans=1)
+    return solve_triangular(_l_solve_dtype(state, c), c, lower=True, trans=1)
 
 
 def _cho_solve(state: GPState, c: Array) -> Array:
@@ -271,7 +322,7 @@ def _cho_solve(state: GPState, c: Array) -> Array:
         from ..ops.blocked_solve import blocked_cho_solve
 
         return blocked_cho_solve(state.l, c)
-    return cho_solve((state.l, True), c)
+    return cho_solve((_l_solve_dtype(state, c), True), c)
 
 
 def _train_cross(state: GPState, xq: Array) -> Array:
@@ -313,7 +364,7 @@ def derive_weights(state: GPState) -> PredictWeights:
         diag_inv = None
         if (
             state.capacity > _BLOCKED_SOLVE_THRESHOLD
-            and state.l.dtype == jnp.float32
+            and state.l.dtype in (jnp.float32, jnp.bfloat16)
         ):
             from ..ops.blocked_solve import panel_inverses
 
@@ -440,7 +491,7 @@ def log_marginal_likelihood(
         state, state.resid
     )
     data_fit = jnp.sum(ol * ol)
-    diag_l = jnp.diagonal(state.l)
+    diag_l = jnp.diagonal(state.l).astype(data_fit.dtype)
     live = jnp.arange(state.capacity) < state.n
     logdet = 2.0 * jnp.sum(jnp.where(live, jnp.log(diag_l), 0.0))
     norm = state.n.astype(data_fit.dtype) * LOG_2PI

@@ -76,9 +76,14 @@ def _adam_delta(adam: AdamState, grads: Array, i) -> tuple[AdamState, Array]:
 def _inverse_and_alpha(state: GPState) -> tuple[Array, Array]:
     """K^-1 (padded: identity in the dead block) and alpha = K^-1 r."""
     cap = state.capacity
-    eye = jnp.eye(cap, dtype=state.l.dtype)
-    cov_inv = cho_solve((state.l, True), eye)
-    alpha = cho_solve((state.l, True), state.resid)
+    # bf16-STORAGE factors solve in the residual (compute) dtype
+    l_mat = (
+        state.l if state.l.dtype == state.resid.dtype
+        else state.l.astype(state.resid.dtype)
+    )
+    eye = jnp.eye(cap, dtype=l_mat.dtype)
+    cov_inv = cho_solve((l_mat, True), eye)
+    alpha = cho_solve((l_mat, True), state.resid)
     return cov_inv, alpha
 
 

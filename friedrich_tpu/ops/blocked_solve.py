@@ -59,7 +59,7 @@ def _blocked_solve(l_mat: Array, c: Array, block: int, transposed: bool) -> Arra
                 l_left, y, preferred_element_type=dtype
             )
             ld = lax.dynamic_slice(l_rows, (z, j0), (block, block))
-            yj = solve_triangular(ld, rhs, lower=True)
+            yj = solve_triangular(ld.astype(dtype), rhs, lower=True)
             return lax.dynamic_update_slice(y, yj, (j0, z))
 
         return lax.fori_loop(0, num, panel, jnp.zeros((n, m), dtype))
@@ -76,7 +76,7 @@ def _blocked_solve(l_mat: Array, c: Array, block: int, transposed: bool) -> Arra
             l_below.T, y, preferred_element_type=dtype
         )
         ld = lax.dynamic_slice(l_mat, (j0, j0), (block, block))
-        xj = solve_triangular(ld, rhs, lower=True, trans=1)
+        xj = solve_triangular(ld.astype(dtype), rhs, lower=True, trans=1)
         return lax.dynamic_update_slice(y, xj, (j0, z))
 
     return lax.fori_loop(0, num, panel, jnp.zeros((n, m), dtype))

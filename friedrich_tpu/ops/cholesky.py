@@ -40,7 +40,11 @@ DEFAULT_BLOCK = 128
 
 def lower_inverse(ld: Array) -> Array:
     """Explicit inverse of a small lower-triangular block (one TRSM against
-    the identity)."""
+    the identity). bf16 STORAGE blocks (``ops/streamed`` ``storage="bf16"``)
+    are inverted in float32 — the inverse feeds f32-accumulated sweep GEMMs.
+    """
+    if ld.dtype == jnp.bfloat16:
+        ld = ld.astype(jnp.float32)
     b = ld.shape[0]
     return solve_triangular(ld, jnp.eye(b, dtype=ld.dtype), lower=True)
 
@@ -194,7 +198,11 @@ def cholesky_append_padded(
     cap, d = x_pad.shape
     x_new = lax.dynamic_slice(x_pad, (n_old, jnp.zeros_like(n_old)), (k_new, d))
     c = cross_covariance_train_padded(kernel, x_pad, n_old, x_new, method=method)
-    s = solve_triangular(l_pad, c, lower=True)  # (cap, k) — zero in dead rows
+    # bf16-STORAGE factors (ops/streamed storage="bf16"): solve in the RHS
+    # (compute) dtype; the appended rows are rounded back on write like any
+    # streamed panel. The cast is a k-column append's one-off 2x-L cost.
+    l_solve = l_pad if l_pad.dtype == c.dtype else l_pad.astype(c.dtype)
+    s = solve_triangular(l_solve, c, lower=True)  # (cap, k) — zero in dead rows
     k22 = cross_covariance(kernel, x_new, x_new, method=method)
     # analytic diagonal: see ops/covariance.train_covariance_padded
     kd = kernel_diag(kernel, x_new) + noise * noise
@@ -207,4 +215,6 @@ def cholesky_append_padded(
         l22 = _unblocked_cholesky_substitute(m22, eps)
     new_rows = s.T  # (k, cap); columns >= n_old are zero
     new_rows = lax.dynamic_update_slice(new_rows, l22, (jnp.zeros_like(n_old), n_old))
-    return lax.dynamic_update_slice(l_pad, new_rows, (n_old, jnp.zeros_like(n_old)))
+    return lax.dynamic_update_slice(
+        l_pad, new_rows.astype(l_pad.dtype), (n_old, jnp.zeros_like(n_old))
+    )

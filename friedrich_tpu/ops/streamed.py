@@ -155,12 +155,12 @@ def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "treedef", "block", "method", "eps", "fused", "precision"
+        "treedef", "block", "method", "eps", "fused", "precision", "storage"
     ),
 )
 def _streamed_unrolled_impl(
     leaves, treedef, x_pad, n, noise, eps, block, method, fused=False,
-    precision=None,
+    precision=None, storage=None,
 ):
     """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
     time, so every column strip has a STATIC height ``cap - j0``.
@@ -185,7 +185,9 @@ def _streamed_unrolled_impl(
     remote TPU compiler comfortable.
     """
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
-    l_full = jnp.zeros((x_pad.shape[0],) * 2, dtype=x_pad.dtype)
+    l_full = jnp.zeros(
+        (x_pad.shape[0],) * 2, dtype=STORAGE_DTYPES[storage] or x_pad.dtype
+    )
     with _precision_scope(precision):
         return _unrolled_body(
             kernel, x_pad, n, noise, eps, block, method, l_full, fused
@@ -203,6 +205,7 @@ def _streamed_unrolled_donate(
     leaves, treedef, x_pad, n, noise, eps, block, method, l0, fused=False,
     precision=None,
 ):
+    # storage dtype rides on l0 (the caller allocates/donates the buffer)
     """Host-level entry: the caller allocates the (cap, cap) zeros buffer
     and DONATES it, so the returned factor aliases that buffer. Without
     donation XLA materializes the update-slice chain's result into a
@@ -220,7 +223,7 @@ def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
                    fused=False):
     cap, d = x_pad.shape
     num_panels = cap // block
-    dtype = x_pad.dtype
+    dtype = x_pad.dtype  # COMPUTE dtype; l_full.dtype may be bf16 storage
     if fused:
         from .pallas.panel_fused import fused_panel_strip
 
@@ -267,15 +270,35 @@ def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
             panel_out = jnp.concatenate([ld, below], axis=0)
         else:
             panel_out = ld
-        l_full = lax.dynamic_update_slice(l_full, panel_out, (j0, j0))
+        # bf16-STORAGE mode: panels are computed in f32 (builds, diagonal
+        # factorizations, solves, GEMM accumulation) and rounded only when
+        # written back — the MXU already rounds f32 GEMM operands to bf16
+        # per pass (BASELINE.md "Matmul precision on TPU"), so the stored
+        # factor halves HBM at near-zero extra rounding, and the next
+        # panel's EXACT residual downdate absorbs the storage rounding of
+        # earlier panels (left-looking self-correction).
+        l_full = lax.dynamic_update_slice(
+            l_full, panel_out.astype(l_full.dtype), (j0, j0)
+        )
 
-    ok = jnp.isfinite(jnp.sum(l_full))  # whole factor, no temp
+    # finiteness probe over the whole factor, no temp (see ops/cholesky.
+    # factor); accumulate bf16 storage in f32
+    acc = jnp.float32 if l_full.dtype == jnp.bfloat16 else l_full.dtype
+    ok = jnp.isfinite(jnp.sum(l_full, dtype=acc))
     return l_full, ok
 
 
 # Above this many panels the unrolled program is large enough to stress the
 # remote TPU compiler; fall back to the constant-size fori_loop program.
 MAX_UNROLL_PANELS = 64
+
+
+#: Factor STORAGE dtypes (compute stays in the input dtype): ``None``
+#: stores L in the compute dtype; ``"bf16"`` stores it in bfloat16 —
+#: halves factor HBM (n=80k fits one 16 GB chip) at near-zero extra
+#: rounding in the default MXU mode, which already reads f32 GEMM
+#: operands at bfloat16 precision.
+STORAGE_DTYPES = {None: None, "bf16": jnp.bfloat16}
 
 
 def streamed_cholesky_factor(
@@ -290,6 +313,7 @@ def streamed_cholesky_factor(
     l0: Optional[Array] = None,
     fused: Optional[bool] = None,
     precision: Optional[str] = None,
+    storage: Optional[str] = None,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -318,6 +342,17 @@ def streamed_cholesky_factor(
     the XLA fat-K path at n=50k on a v5e chip — XLA's GEMM pipelining
     beats the hand tiling here; the kernel is kept as an opt-in
     experiment (see BASELINE.md "Pallas megakernel A/B").
+
+    ``storage``: factor STORAGE dtype (:data:`STORAGE_DTYPES`). ``"bf16"``
+    stores L in bfloat16 while every panel is still COMPUTED in the input
+    dtype (f32 strip builds, f32 diagonal factorization, f32-accumulated
+    GEMMs) — the only extra rounding vs the default mode is the write-back
+    of each panel, because the MXU already rounds f32 GEMM operands to
+    bfloat16 per pass. Halves factor memory: exact GP at n~80k on one
+    16 GB chip (f32 storage caps at n~60k). Requires the unrolled path,
+    f32 inputs, ``fused=False``, and ``precision`` None/"bf16" (the
+    multi-pass modes exist to RECOVER f32 operand precision, which bf16
+    storage has already discarded). Accuracy ladder in BASELINE.md.
 
     ``precision``: MXU matmul precision for the WHOLE factorization
     (downdate GEMMs, panel solves, diagonal-block factorizations) —
@@ -352,6 +387,27 @@ def streamed_cholesky_factor(
             f"precision must be None or one of "
             f"{sorted(PRECISION_MODES)}, got {precision!r}"
         )
+    if storage not in STORAGE_DTYPES:
+        raise ValueError(
+            f"storage must be None or one of "
+            f"{sorted(k for k in STORAGE_DTYPES if k)}, got {storage!r}"
+        )
+    if storage == "bf16":
+        if not unroll or fused:
+            raise ValueError(
+                "storage='bf16' requires the unrolled path (fused=False)"
+            )
+        if x_pad.dtype != jnp.float32:
+            raise ValueError(
+                f"storage='bf16' requires float32 inputs, got {x_pad.dtype}"
+            )
+        if precision not in (None, "bf16"):
+            raise ValueError(
+                f"storage='bf16' is incompatible with precision="
+                f"{precision!r}: multi-pass modes recover f32 operand "
+                "precision that bf16 storage has already discarded"
+            )
+    store_dtype = STORAGE_DTYPES[storage] or x_pad.dtype
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     args = (
         tuple(leaves), treedef, x_pad, jnp.asarray(n, jnp.int32),
@@ -363,10 +419,15 @@ def streamed_cholesky_factor(
         # inside an outer jit the call inlines (donation is meaningless
         # and the result is a temp, which XLA aliases in place anyway)
         return _streamed_unrolled_impl(
-            *args, fused=fused, precision=precision
+            *args, fused=fused, precision=precision, storage=storage
         )
     if l0 is None or isinstance(l0, jax.core.Tracer):
-        l0 = jnp.zeros((cap, cap), dtype=x_pad.dtype)
+        l0 = jnp.zeros((cap, cap), dtype=store_dtype)
+    elif l0.dtype != store_dtype:
+        raise ValueError(
+            f"donated buffer dtype {l0.dtype} does not match the factor "
+            f"storage dtype {store_dtype}"
+        )
     return _streamed_unrolled_donate(
         *args, l0, fused=fused, precision=precision
     )

@@ -82,9 +82,15 @@ def save_gp(gp, path: str) -> None:
         "eps": state.eps,
         "method": state.method,
         "backend": state.backend,
+        "storage": state.storage,
         "n": int(state.n),
         "dtype": str(state.x.dtype),
     }
+    # bf16-STORAGE factors: .npz has no bfloat16 descr — store the raw bits
+    # as uint16 and re-view on load
+    l_np = np.asarray(state.l)
+    if state.storage == "bf16":
+        l_np = l_np.view(np.uint16)
     # np.savez appends .npz when missing but np.load does not — normalize
     # here so save/load round-trips for extensionless paths
     if not str(path).endswith(".npz"):
@@ -94,7 +100,7 @@ def save_gp(gp, path: str) -> None:
         header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
         x=np.asarray(state.x),
         resid=np.asarray(state.resid),
-        l=np.asarray(state.l),
+        l=l_np,
         noise=np.asarray(state.noise),
     )
 
@@ -108,10 +114,16 @@ def load_gp(path: str):
     with np.load(path) as data:
         header = json.loads(bytes(data["header"]).decode())
         dtype = jnp.dtype(header["dtype"])
+        storage = header.get("storage")
+        l_np = data["l"]
+        if storage == "bf16":
+            l_jax = jnp.asarray(l_np).view(jnp.bfloat16)
+        else:
+            l_jax = jnp.asarray(l_np, dtype=dtype)
         state = GPState(
             x=jnp.asarray(data["x"], dtype=dtype),
             resid=jnp.asarray(data["resid"], dtype=dtype),
-            l=jnp.asarray(data["l"], dtype=dtype),
+            l=l_jax,
             n=jnp.asarray(header["n"], dtype=jnp.int32),
             noise=jnp.asarray(data["noise"], dtype=dtype),
             kernel=_kernel_from_spec(header["kernel"]),
@@ -119,5 +131,6 @@ def load_gp(path: str):
             eps=header["eps"],
             method=header["method"],
             backend=header.get("backend", "dense"),
+            storage=storage,
         )
     return GaussianProcess(state)

@@ -92,10 +92,11 @@ def exp_factor(args):
             from friedrich_tpu.ops.streamed import streamed_cholesky_factor
 
             prec = None if args.precision == "ambient" else args.precision
+            stor = None if args.storage == "none" else args.storage
             f = jax.jit(
                 lambda x: _scalarize(streamed_cholesky_factor(
                     kern, x, n, noise, block=args.block, method=method,
-                    precision=prec,
+                    precision=prec, storage=stor,
                 ))
             )
         elif backend == "tiled":
@@ -119,7 +120,7 @@ def exp_factor(args):
         emit(
             exp="factor", backend=backend, n=n, block=args.block,
             levels=args.levels, dtype=args.dtype, precision=args.precision,
-            seconds=round(t, 4),
+            storage=args.storage, seconds=round(t, 4),
             eff_tflops=round(n**3 / 3 / t / 1e12, 1),
         )
     except Exception as e:
@@ -351,11 +352,16 @@ def exp_precacc(args):
     y64 = rng_y.normal(size=(n,))
     alpha64 = np.linalg.solve(k64, y64)
 
-    for mode in (None, "bf16", "f32x3", "f32"):
+    # (precision, storage) rows: the four MXU modes + the bf16-STORAGE
+    # factor (f32 compute, bfloat16 write-back — ops/streamed storage)
+    for mode, stor in (
+        (None, None), ("bf16", None), ("f32x3", None), ("f32", None),
+        (None, "bf16"),
+    ):
         try:
             l_mode, ok = streamed_cholesky_factor(
                 kern, x, n, noise, block=block, unroll=True,
-                precision=mode,
+                precision=mode, storage=stor,
             )
             lm = np.asarray(jax.block_until_ready(l_mode), np.float64)
             # forward factor error (harsh: exact-factor elementwise)
@@ -372,12 +378,13 @@ def exp_precacc(args):
             am = st(lmt.T, st(lmt, y64, lower=True), lower=False)
             da = np.abs(am - alpha64).max() / np.abs(alpha64).max()
             emit(exp="precision_accuracy", n=n, block=block,
-                 mode=mode or "ambient", max_abs_l_err=float(dl),
+                 mode=mode or "ambient", storage=stor or "none",
+                 max_abs_l_err=float(dl),
                  max_rel_diag_err=float(dd), backward_err=float(be),
                  rel_alpha_err=float(da), ok=bool(ok))
         except Exception as e:
             emit(exp="precision_accuracy", n=n, mode=mode or "ambient",
-                 error=str(e)[:300])
+                 storage=stor or "none", error=str(e)[:300])
 
 
 def exp_solveblock(args):
@@ -473,6 +480,8 @@ def main(argv=None):
                    choices=["ambient", "bf16", "f32x3", "f32"],
                    help="factorization matmul precision "
                         "(streamed backend only)")
+    p.add_argument("--storage", default="none", choices=["none", "bf16"],
+                   help="factor STORAGE dtype (streamed backend only)")
     p.add_argument("--gp-n", type=int, default=1024)
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
     p.add_argument("--warmup", type=int, default=100)
