@@ -47,7 +47,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method):
+def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps,
+                          method, storage=None):
     """Build + jit the shard_map factorization ONCE per (mesh, shapes,
     statics) — repeated calls (e.g. every fit iteration) reuse the
     compiled program instead of re-tracing the panel loops."""
@@ -58,14 +59,19 @@ def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method)
 
     def body(x_local, n_arr, noise_arr, *kleaves):
         kern = jax.tree_util.tree_unflatten(treedef, kleaves)
-        dtype = x_local.dtype
+        dtype = x_local.dtype  # COMPUTE dtype; the factor may store bf16
         n_live = n_arr[0]
         noise_v = noise_arr[0]
         rank = lax.axis_index(axes)
         row0 = rank * local_rows
         rows_global = row0 + jnp.arange(local_rows)
 
-        l_local = jnp.zeros((local_rows, cap), dtype=dtype)
+        # bf16 STORAGE (mirrors ops/streamed storage="bf16"): panels are
+        # computed in f32 and rounded at write-back. On a mesh this also
+        # HALVES the one psum broadcast per panel (the (B, cap) owner row
+        # strip — cap^2 bytes total over ICI become cap^2/2)
+        store_dtype = jnp.bfloat16 if storage == "bf16" else dtype
+        l_local = jnp.zeros((local_rows, cap), dtype=store_dtype)
 
         def owner_bcast(arr_local, off, owned, shape):
             """Extract ``shape`` rows at local offset ``off`` on the owner,
@@ -123,13 +129,18 @@ def _build_factor_program(mesh, treedef, num_leaves, cap, d, block, eps, method)
             t_local = jnp.where(owned, t_owner, t_local)
             # rows above the panel are zero in a lower factor
             t_local = jnp.where(rows_global[:, None] < j0, 0.0, t_local)
-            return lax.dynamic_update_slice(l_local, t_local, (jnp.zeros_like(j0), j0))
+            return lax.dynamic_update_slice(
+                l_local, t_local.astype(l_local.dtype),
+                (jnp.zeros_like(j0), j0),
+            )
 
         l_local = lax.fori_loop(0, num_panels, panel_step, l_local)
         # whole local factor (see ops/cholesky.factor: the substitute
         # cascade can NaN off-diagonals while the diagonal stays finite);
         # fused sum reduction — no (rows, cap) bool temp
-        ok_local = jnp.isfinite(jnp.sum(l_local))
+        ok_local = jnp.isfinite(jnp.sum(
+            l_local, dtype=dtype if store_dtype != dtype else None
+        ))
         ok = lax.pmin(ok_local.astype(jnp.int32), axes)
         return l_local, ok[None]
 
@@ -153,20 +164,34 @@ def distributed_cholesky_factor(
     eps: Optional[float] = None,
     block: int = 512,
     method: str = "gram",
+    storage: Optional[str] = None,
 ) -> tuple[Array, Array]:
     """Fused covariance build + Cholesky, row-sharded over the whole mesh.
 
     Returns (L, ok) with L row-sharded; callers can keep it sharded for
     distributed solves or gather it.
+
+    ``storage="bf16"`` stores L in bfloat16 (f32 compute, rounded
+    write-back — the mesh analogue of ``ops/streamed``'s storage mode):
+    halves each device's factor HBM (double the per-chip capacity) AND
+    halves the per-panel psum broadcast of owner row strips (cap^2 bytes
+    over ICI become cap^2/2). Requires float32 inputs. The distributed
+    sweeps (``distributed_solve``) read the bf16 factor natively.
     """
     n_dev = mesh.size
     cap, d = x_pad.shape
     if cap % n_dev:
         raise ValueError(f"capacity {cap} not divisible by {n_dev} devices")
+    if storage not in (None, "bf16"):
+        raise ValueError(f"storage must be None or 'bf16', got {storage!r}")
+    if storage == "bf16" and x_pad.dtype != jnp.float32:
+        raise ValueError(
+            f"storage='bf16' requires float32 inputs, got {x_pad.dtype}"
+        )
     block = _pick_block(cap // n_dev, block)
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     fn = _build_factor_program(
-        mesh, treedef, len(leaves), cap, d, block, eps, method
+        mesh, treedef, len(leaves), cap, d, block, eps, method, storage
     )
     l_mat, ok = fn(
         x_pad,

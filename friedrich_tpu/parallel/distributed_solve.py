@@ -66,7 +66,11 @@ def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
     num_panels = cap // b
 
     def body(l_local, c_in):
-        dtype = l_local.dtype
+        # compute dtype rides on the RHS: a bf16-STORAGE factor
+        # (distributed_cholesky_factor storage="bf16") is read natively by
+        # the panel GEMMs (promoted into f32 accumulation) while diagonal
+        # solves and the solution stay f32
+        dtype = c_in.dtype
         rank = lax.axis_index(axes)
         row0 = rank * local_rows
 
@@ -102,7 +106,7 @@ def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
                     l_left, y, preferred_element_type=dtype
                 )
                 ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
-                yj = solve_triangular(ld, rhs, lower=True)
+                yj = solve_triangular(ld.astype(dtype), rhs, lower=True)
                 return lax.dynamic_update_slice(y, yj, (j0, jnp.zeros_like(j0)))
 
             y = lax.fori_loop(0, num_panels, panel, y)
@@ -132,7 +136,7 @@ def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
                 rhs = rhs_block(j0, owned, off) - contrib
                 l_rows = owner_bcast(l_local, off, owned, b)
                 ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
-                xj = solve_triangular(ld, rhs, lower=True, trans=1)
+                xj = solve_triangular(ld.astype(dtype), rhs, lower=True, trans=1)
                 return lax.dynamic_update_slice(y, xj, (j0, jnp.zeros_like(j0)))
 
             y = lax.fori_loop(0, num_panels, panel, y)

@@ -74,6 +74,7 @@ class LargeScaleGP:
         block: int = 512,
         method: str = "gram",
         capacity: Optional[int] = None,
+        storage: Optional[str] = None,
     ):
         self.mesh = mesh
         self.kernel = kernel
@@ -81,6 +82,13 @@ class LargeScaleGP:
         self.block = block
         self.method = method
         self.eps = eps
+        # "bf16": store the sharded factor in bfloat16 (f32 compute) —
+        # halves per-device factor HBM (double the capacity per chip) and
+        # halves the per-panel ICI broadcast; see
+        # distributed_cholesky_factor. add_samples REBUILDS under this
+        # mode (rank-updates against the rounded factor go indefinite —
+        # models/gp.add_samples_rebuild has the measurement).
+        self.storage = storage
         n, d = x.shape
         cap = max(capacity or n, n)
         if cap % mesh.size:
@@ -98,6 +106,7 @@ class LargeScaleGP:
         self.l_sharded, ok = distributed_cholesky_factor(
             self.mesh, self.kernel, self.x, self.n, self.noise,
             eps=self.eps, block=self.block, method=self.method,
+            storage=self.storage,
         )
         self._cached_weights = None
         if not bool(ok):
@@ -207,6 +216,25 @@ class LargeScaleGP:
         self.resid = self.resid.at[self.n : self.n + k].set(
             y_new - self.prior.mean(x_new)
         )
+        if self.storage == "bf16":
+            # rank-updates against the ROUNDED factor go indefinite (see
+            # models/gp.add_samples_rebuild) — refactorize: O(n^3), atomic,
+            # and old+new bf16 factors together cost one f32 factor
+            n_old = self.n
+            self.n += k
+            try:
+                self._factor()
+            except CholeskyError:
+                self.n = n_old
+                self.x = self.x.at[n_old : n_old + k].set(0.0)
+                self.resid = self.resid.at[n_old : n_old + k].set(0.0)
+                self._factor()  # restore the old factor (old data unchanged)
+                raise CholeskyError(
+                    "distributed add_samples: refactorization with the new "
+                    "points failed; consider `cholesky_epsilon` or more "
+                    "noise. The model was restored."
+                )
+            return
         new_l = distributed_cholesky_append(
             self.mesh, self.l_sharded, self.kernel, self.x, self.n, x_new,
             self.noise, eps=self.eps, block=self.block, method=self.method,
@@ -284,7 +312,7 @@ class LargeScaleGP:
         # diagonal extracted on-device (SPMD-safe; never pulls the (cap, cap)
         # sharded factor to the host)
         diag = jax.jit(jnp.diagonal)(self.l_sharded)[: self.n]
-        logdet = 2.0 * float(jnp.sum(jnp.log(diag)))
+        logdet = 2.0 * float(jnp.sum(jnp.log(diag.astype(self.x.dtype))))
         return -(data_fit + logdet + self.n * float(np.log(2 * np.pi))) / 2.0
 
     # -- hyperparameter fit ----------------------------------------------------
@@ -332,6 +360,7 @@ class LargeScaleGP:
         (progress, ok) booleans for the stop rule, like the reference's
         host-side convergence check (``optimizer.rs:120,138``)."""
         mesh, block, method, eps = self.mesh, self.block, self.method, self.eps
+        storage = self.storage
         x, n = self.x, self.n
         conv = convergence_fraction
 
@@ -348,7 +377,8 @@ class LargeScaleGP:
             noise = noise * scale
             adam = adam.replace(params=kernel.get_params())
             l_new, ok = distributed_cholesky_factor(
-                mesh, kernel, x, n, noise, eps=eps, block=block, method=method
+                mesh, kernel, x, n, noise, eps=eps, block=block,
+                method=method, storage=storage,
             )
             return l_new, kernel, noise, adam, progress, ok
 
@@ -368,7 +398,8 @@ class LargeScaleGP:
             kernel = kernel.with_params(adam.params[:-1])
             noise = jnp.exp(adam.params[-1])
             l_new, ok = distributed_cholesky_factor(
-                mesh, kernel, x, n, noise, eps=eps, block=block, method=method
+                mesh, kernel, x, n, noise, eps=eps, block=block,
+                method=method, storage=storage,
             )
             return l_new, kernel, noise, adam, progress, ok
 

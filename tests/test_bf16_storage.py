@@ -311,3 +311,103 @@ def test_bf16_storage_fit_map_smoke():
     assert gp.state.l.dtype == jnp.bfloat16
     assert np.isfinite(gp.log_marginal_likelihood())
     assert gp.log_marginal_likelihood() >= before - 1.0
+
+
+# ---------------------------------------------------------------------------
+# Distributed bf16 storage (8 virtual devices)
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402
+
+
+def _dist_problem(cap=128, n=100, d=3):
+    rng = np.random.default_rng(11)
+    x = jnp.zeros((cap, d), jnp.float32).at[:n].set(
+        jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    )
+    return x, n
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_bf16_storage_factor_close():
+    from friedrich_tpu.parallel.distributed_cholesky import (
+        distributed_cholesky_factor,
+    )
+    from friedrich_tpu.parallel.mesh import make_matrix_mesh
+
+    kern = fk.SquaredExp(ls=jnp.float32(0.9), ampl=jnp.float32(1.4))
+    x, n = _dist_problem()
+    mesh = make_matrix_mesh(8)
+    want, okw = distributed_cholesky_factor(
+        mesh, kern, x, n, jnp.float32(0.3), block=16
+    )
+    got, ok = distributed_cholesky_factor(
+        mesh, kern, x, n, jnp.float32(0.3), block=16, storage="bf16"
+    )
+    assert bool(ok) and bool(okw)
+    assert got.dtype == jnp.bfloat16
+    a = np.asarray(want, np.float64)
+    b = np.asarray(got, np.float64)
+    assert np.max(np.abs(a - b)) < 3e-2
+    with pytest.raises(ValueError, match="float32 inputs"):
+        distributed_cholesky_factor(
+            mesh, kern, x.astype(jnp.float64), n, 0.3, block=16,
+            storage="bf16",
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_large_scale_bf16_storage_end_to_end():
+    """LargeScaleGP with a bf16-stored sharded factor: predict/lml close
+    to the f32-stored model; append rebuilds and matches retrain; the
+    jitted fit step keeps the storage mode."""
+    from friedrich_tpu.parallel.large_scale import LargeScaleGP
+    from friedrich_tpu.parallel.mesh import make_matrix_mesh
+    from friedrich_tpu.priors import ZeroPrior
+
+    rng = np.random.default_rng(13)
+    n, d = 96, 3
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.sin(x.sum(axis=1)) + 0.05 * jnp.asarray(
+        rng.normal(size=(n,)), jnp.float32
+    )
+    xq = jnp.asarray(rng.normal(size=(9, d)), jnp.float32)
+    mesh = make_matrix_mesh(8)
+    kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+
+    gp32 = LargeScaleGP(mesh, kern, ZeroPrior(), 0.2, x, y, block=16,
+                        capacity=160)
+    gpbf = LargeScaleGP(mesh, kern, ZeroPrior(), 0.2, x, y, block=16,
+                        capacity=160, storage="bf16")
+    assert gpbf.l_sharded.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gpbf.predict(xq)), np.asarray(gp32.predict(xq)), atol=0.05
+    )
+    m32, v32 = gp32.predict_mean_variance(xq)
+    mbf, vbf = gpbf.predict_mean_variance(xq)
+    np.testing.assert_allclose(np.asarray(mbf), np.asarray(m32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(vbf), np.asarray(v32), atol=0.05)
+    lml32, lmlbf = gp32.log_marginal_likelihood(), gpbf.log_marginal_likelihood()
+    assert abs(lmlbf - lml32) < 2.0 + 0.02 * abs(lml32)
+
+    # append: rebuild path (rank-update would go indefinite vs the rounded
+    # factor); result matches a from-scratch bf16 model on the same data
+    x2 = jnp.asarray(rng.normal(size=(16, d)), jnp.float32)
+    y2 = jnp.sin(x2.sum(axis=1))
+    gpbf.add_samples(x2, y2)
+    assert gpbf.n == n + 16
+    assert gpbf.l_sharded.dtype == jnp.bfloat16
+    retrained = LargeScaleGP(
+        mesh, kern, ZeroPrior(), 0.2,
+        jnp.concatenate([x, x2]), jnp.concatenate([y, y2]),
+        block=16, capacity=160, storage="bf16",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gpbf.predict(xq)), np.asarray(retrained.predict(xq)),
+        atol=1e-4,
+    )
+
+    # fit smoke: the jitted iteration factors with the same storage
+    gpbf.fit_scaled(max_iter=2)
+    assert gpbf.l_sharded.dtype == jnp.bfloat16
+    assert np.isfinite(gpbf.log_marginal_likelihood())
