@@ -170,14 +170,18 @@ def exp_predict(args):
 
     rng = np.random.default_rng(0)
     n, m = args.n, args.m
+    stor = None if args.storage == "none" else args.storage
     x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
     try:
         # host-level call (no outer jit): the unrolled factorizer donates
         # its output buffer only when called with concrete arrays — an
         # outer jit would reintroduce the 2x-L output copy and OOM at 50k
-        l_mat, _ = streamed_cholesky_factor(kern, x, n, noise, block=2048)
+        l_mat, _ = streamed_cholesky_factor(
+            kern, x, n, noise, block=2048, storage=stor
+        )
         jax.block_until_ready(l_mat)
-        emit(exp="predict_setup", n=n, stage="factor materialized")
+        emit(exp="predict_setup", n=n, storage=args.storage,
+             stage="factor materialized")
         xq = jnp.asarray(rng.normal(size=(m, args.d)), dtype)
         resid = jnp.asarray(rng.normal(size=(n,)), dtype)
 
@@ -195,7 +199,7 @@ def exp_predict(args):
             return w.T @ resid, kernel_diag(kern, xq) - jnp.sum(kl * kl, axis=0)
 
         t = timeit(predict, l_mat, x, resid, xq, r=args.repeats)
-        emit(exp="predict_mean_var_legacy", n=n, m=m, seconds=round(t, 4),
+        emit(exp="predict_mean_var_legacy", storage=args.storage, n=n, m=m, seconds=round(t, 4),
              points_per_sec=round(m / t))
 
         # the library's current facade path: derive_weights once (panel
@@ -212,7 +216,7 @@ def exp_predict(args):
 
         dinv, beta, alpha = jax.block_until_ready(derive(l_mat, resid))
         td = timeit(derive, l_mat, resid, r=args.repeats)
-        emit(exp="predict_derive_weights", n=n, seconds=round(td, 4))
+        emit(exp="predict_derive_weights", storage=args.storage, n=n, seconds=round(td, 4))
 
         @jax.jit
         def predict_w(l_mat, x, dinv, beta, xq):
@@ -221,7 +225,7 @@ def exp_predict(args):
             return kl.T @ beta, kernel_diag(kern, xq) - jnp.sum(kl * kl, axis=0)
 
         t = timeit(predict_w, l_mat, x, dinv, beta, xq, r=args.repeats)
-        emit(exp="predict_mean_var_weights", n=n, m=m, seconds=round(t, 4),
+        emit(exp="predict_mean_var_weights", storage=args.storage, n=n, m=m, seconds=round(t, 4),
              points_per_sec=round(m / t))
 
         @jax.jit
@@ -231,7 +235,7 @@ def exp_predict(args):
             return c.T @ alpha
 
         t = timeit(predict_mean_only, l_mat, x, alpha, xq, r=args.repeats)
-        emit(exp="predict_mean_only_weights", n=n, m=m, seconds=round(t, 4),
+        emit(exp="predict_mean_only_weights", storage=args.storage, n=n, m=m, seconds=round(t, 4),
              points_per_sec=round(m / t))
     except Exception as e:
         emit(exp="predict", n=n, m=m, error=str(e)[:300])
