@@ -117,6 +117,12 @@ class GaussianProcess:
             )
         if cholesky_epsilon is not None and cholesky_epsilon <= 0:
             raise ConfigError("cholesky_epsilon must be strictly positive")
+        if dtype is not None:
+            dtype = jnp.dtype(dtype)
+            if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+                raise ConfigError(
+                    f"model dtype must be float32 or float64, got {dtype}"
+                )
         x, _ = as_input_matrix(training_inputs, dtype=dtype)
         y = as_output_vector(training_outputs, dtype=dtype)
         if x.shape[0] != y.shape[0]:
@@ -248,19 +254,34 @@ class GaussianProcess:
         n = int(self._state.n)
         k = x_new.shape[0]
         cap = self._state.capacity
-        if n + k > cap:
-            # amortized growth, extendable_matrix.rs:38 (x1.5 policy)
+        grew = n + k > cap
+        if grew:
+            # amortized growth, extendable_matrix.rs:38 (x1.5 policy);
+            # bf16-storage appends rebuild from scratch, so skip copying
+            # the old factor into the enlarged buffer (the rebuild donates
+            # the fresh identity buffer instead)
             new_cap = max(n + k, math.ceil(cap * GROWTH_FACTOR))
-            self._state = core.grow_capacity(self._state, new_cap)
+            self._state = core.grow_capacity(
+                self._state, new_cap,
+                copy_factor=self._state.storage != "bf16",
+            )
         if self._state.storage == "bf16":
             # rank-updates against the ROUNDED factor go indefinite (see
             # core.add_samples_rebuild) — refactorize instead: O(n^3) but
-            # atomic, and the transient old+new bf16 factors cost one f32
-            # factor
+            # atomic, and the transient current+new bf16 factors cost one
+            # f32 factor (no donation: a failed rebuild must leave
+            # self._state usable)
             new_state, ok = core.add_samples_rebuild(
                 self._state, x_new, y_new.astype(self._state.resid.dtype)
             )
             if not bool(ok):
+                if grew:
+                    # the grown buffer skipped the factor copy — re-factor
+                    # at the old n (old data unchanged) so the model stays
+                    # usable
+                    restored, ok2 = core.rebuild_cholesky(self._state)
+                    if bool(ok2):
+                        self._state = restored
                 raise CholeskyError(
                     "add_samples: refactorization with the new points "
                     "failed; consider setting `cholesky_epsilon` or "

@@ -156,6 +156,18 @@ class GaussianProcessBuilder:
         if self._dtype is not None:
             x = x.astype(self._dtype)
             y = y.astype(self._dtype)
+        if self._storage == "bf16":
+            if self._backend != "streamed":
+                raise ConfigError(
+                    "set_factor_storage('bf16') requires "
+                    "set_backend('streamed')"
+                )
+            if x.dtype != jnp.float32:
+                raise ConfigError(
+                    f"set_factor_storage('bf16') requires float32 inputs "
+                    f"(got {x.dtype}; call set_dtype('float32') — parity "
+                    f"mode defaults to float64 under jax_enable_x64)"
+                )
         kernel = self._kernel
         if self._should_fit_kernel:
             kernel = kernel.heuristic_fit(x, y)

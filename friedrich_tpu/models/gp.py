@@ -209,17 +209,25 @@ def rebuild_cholesky(state: GPState,
     return state.replace(l=l_pad), ok
 
 
-def grow_capacity(state: GPState, new_cap: int) -> GPState:
+def grow_capacity(state: GPState, new_cap: int,
+                  copy_factor: bool = True) -> GPState:
     """Host-side capacity growth (recompile boundary): zero-pad data, extend
     the Cholesky factor with the identity. Mirrors ``EMatrix`` x1.5 growth
-    (``extendable_matrix.rs:30-49``)."""
+    (``extendable_matrix.rs:30-49``).
+
+    ``copy_factor=False`` skips copying the old factor into the enlarged
+    buffer (it stays the bare identity) — for callers that immediately
+    REBUILD (the bf16-storage append): saves a cap^2 copy and lets the
+    rebuild donate the fresh buffer."""
     cap = state.capacity
     if new_cap <= cap:
         return state
     d = state.input_dim
     x = jnp.zeros((new_cap, d), dtype=state.x.dtype).at[:cap].set(state.x)
     r = jnp.zeros((new_cap,), dtype=state.resid.dtype).at[:cap].set(state.resid)
-    l_new = jnp.eye(new_cap, dtype=state.l.dtype).at[:cap, :cap].set(state.l)
+    l_new = jnp.eye(new_cap, dtype=state.l.dtype)
+    if copy_factor:
+        l_new = l_new.at[:cap, :cap].set(state.l)
     return state.replace(x=x, resid=r, l=l_new)
 
 
@@ -253,8 +261,8 @@ def add_samples_padded(state: GPState, x_new: Array, y_new: Array) -> GPState:
     return state.replace(x=x_pad, resid=r_pad, l=l_pad, n=state.n + k)
 
 
-def add_samples_rebuild(state: GPState, x_new: Array,
-                        y_new: Array) -> tuple[GPState, Array]:
+def add_samples_rebuild(state: GPState, x_new: Array, y_new: Array,
+                        reuse_buffer: bool = False) -> tuple[GPState, Array]:
     """Append samples by FULL refactorization — the bf16-STORAGE append.
 
     The O(n^2 k) rank-update solves ``S = L^-1 K12`` against the stored
@@ -267,6 +275,11 @@ def add_samples_rebuild(state: GPState, x_new: Array,
     safe wherever the f32 model would have fit: the transient old+new
     bf16 factors together cost exactly one f32 factor.
 
+    ``reuse_buffer=True`` DONATES the current factor's buffer as the new
+    factor's workspace — only safe when that buffer is disposable (e.g. a
+    just-grown ``grow_capacity(copy_factor=False)`` identity, where losing
+    atomicity costs nothing because the old factor lives elsewhere).
+
     Returns ``(state, ok)`` like :func:`make_state`.
     """
     k = x_new.shape[0]
@@ -275,7 +288,7 @@ def add_samples_rebuild(state: GPState, x_new: Array,
     x_pad = lax.dynamic_update_slice(state.x, x_new, (state.n, zero))
     r_pad = lax.dynamic_update_slice(state.resid, r_new, (state.n,))
     state = state.replace(x=x_pad, resid=r_pad, n=state.n + k)
-    return rebuild_cholesky(state)
+    return rebuild_cholesky(state, reuse_buffer=reuse_buffer)
 
 
 # ---------------------------------------------------------------------------
@@ -288,41 +301,44 @@ def add_samples_rebuild(state: GPState, x_new: Array,
 _BLOCKED_SOLVE_THRESHOLD = 16384
 
 
-def _l_solve_dtype(state: GPState, c: Array) -> Array:
-    """The factor cast to the RHS dtype for MONOLITHIC solves. The blocked
-    sweeps read a bf16-STORAGE factor natively (panel GEMMs promote, diagonal
-    blocks are inverted in f32 — ``ops/blocked_solve``); XLA's
-    ``solve_triangular`` needs matching dtypes, and below the blocked
-    threshold the full-factor cast is cheap."""
-    return state.l if state.l.dtype == c.dtype else state.l.astype(c.dtype)
+def _use_blocked(state: GPState) -> bool:
+    """Blocked sweeps above the compiler threshold — and for EVERY bf16
+    STORAGE factor: the panel sweeps read bf16 natively (GEMMs promote
+    into f32 accumulation, diagonal blocks invert in f32), whereas XLA's
+    monolithic ``solve_triangular`` would need a full-factor f32 cast
+    materialized PER predict batch."""
+    return (
+        state.capacity > _BLOCKED_SOLVE_THRESHOLD
+        or state.l.dtype == jnp.bfloat16
+    )
 
 
 def _solve_lower(
     state: GPState, c: Array, diag_inv: Optional[Array] = None
 ) -> Array:
-    if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
+    if _use_blocked(state):
         from ..ops.blocked_solve import blocked_solve_lower
 
         return blocked_solve_lower(state.l, c, diag_inv=diag_inv)
-    return solve_triangular(_l_solve_dtype(state, c), c, lower=True)
+    return solve_triangular(state.l, c, lower=True)
 
 
 def _solve_lower_t(
     state: GPState, c: Array, diag_inv: Optional[Array] = None
 ) -> Array:
-    if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
+    if _use_blocked(state):
         from ..ops.blocked_solve import blocked_solve_lower_t
 
         return blocked_solve_lower_t(state.l, c, diag_inv=diag_inv)
-    return solve_triangular(_l_solve_dtype(state, c), c, lower=True, trans=1)
+    return solve_triangular(state.l, c, lower=True, trans=1)
 
 
 def _cho_solve(state: GPState, c: Array) -> Array:
-    if state.capacity > _BLOCKED_SOLVE_THRESHOLD:
+    if _use_blocked(state):
         from ..ops.blocked_solve import blocked_cho_solve
 
         return blocked_cho_solve(state.l, c)
-    return cho_solve((_l_solve_dtype(state, c), True), c)
+    return cho_solve((state.l, True), c)
 
 
 def _train_cross(state: GPState, xq: Array) -> Array:
@@ -362,9 +378,8 @@ def derive_weights(state: GPState) -> PredictWeights:
     inverses, O(n^2) + O(n b^2 /2) — amortized across predict batches)."""
     with jax.named_scope("gp/derive_weights"):
         diag_inv = None
-        if (
-            state.capacity > _BLOCKED_SOLVE_THRESHOLD
-            and state.l.dtype in (jnp.float32, jnp.bfloat16)
+        if _use_blocked(state) and state.l.dtype in (
+            jnp.float32, jnp.bfloat16
         ):
             from ..ops.blocked_solve import panel_inverses
 

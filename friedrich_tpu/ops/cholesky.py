@@ -195,14 +195,22 @@ def cholesky_append_padded(
     uses the substituting factorization; the reference silently ignores
     ``cholesky_epsilon`` in ``add_rows_cholesky_cov_matrix``.
     """
+    if l_pad.dtype == jnp.bfloat16:
+        # rank-updating a bf16-STORED factor solves against ROUNDED data:
+        # the ~2^-8 storage error amplifies through S^T S and drives the
+        # appended Schur complement indefinite (measured at n=500,
+        # noise=0.1). Both facades route bf16 states to a rebuild
+        # (models/gp.add_samples_rebuild); direct core callers get a clear
+        # error instead of a silent 2x-L cast + numerical failure.
+        raise ValueError(
+            "bf16-stored factors cannot be rank-updated; use "
+            "models.gp.add_samples_rebuild (the facades do this "
+            "automatically)"
+        )
     cap, d = x_pad.shape
     x_new = lax.dynamic_slice(x_pad, (n_old, jnp.zeros_like(n_old)), (k_new, d))
     c = cross_covariance_train_padded(kernel, x_pad, n_old, x_new, method=method)
-    # bf16-STORAGE factors (ops/streamed storage="bf16"): solve in the RHS
-    # (compute) dtype; the appended rows are rounded back on write like any
-    # streamed panel. The cast is a k-column append's one-off 2x-L cost.
-    l_solve = l_pad if l_pad.dtype == c.dtype else l_pad.astype(c.dtype)
-    s = solve_triangular(l_solve, c, lower=True)  # (cap, k) — zero in dead rows
+    s = solve_triangular(l_pad, c, lower=True)  # (cap, k) — zero in dead rows
     k22 = cross_covariance(kernel, x_new, x_new, method=method)
     # analytic diagonal: see ops/covariance.train_covariance_padded
     kd = kernel_diag(kernel, x_new) + noise * noise
@@ -215,6 +223,4 @@ def cholesky_append_padded(
         l22 = _unblocked_cholesky_substitute(m22, eps)
     new_rows = s.T  # (k, cap); columns >= n_old are zero
     new_rows = lax.dynamic_update_slice(new_rows, l22, (jnp.zeros_like(n_old), n_old))
-    return lax.dynamic_update_slice(
-        l_pad, new_rows.astype(l_pad.dtype), (n_old, jnp.zeros_like(n_old))
-    )
+    return lax.dynamic_update_slice(l_pad, new_rows, (n_old, jnp.zeros_like(n_old)))

@@ -172,13 +172,13 @@ class LargeScaleGP:
 
     # -- incremental update -------------------------------------------------
 
-    def grow(self, new_capacity: int) -> None:
-        """Re-shard to a larger capacity and REBUILD the factor (O(n^3) —
-        growth at scale cannot reuse the old sharding; reserve capacity up
-        front when possible)."""
+    def _grow_buffers(self, new_capacity: int) -> bool:
+        """Grow the DATA buffers only (no factorization); returns whether
+        growth happened. The factor is stale (old capacity) until the
+        caller re-factors."""
         cap = self.x.shape[0]
         if new_capacity <= cap:
-            return
+            return False
         if new_capacity % self.mesh.size:
             new_capacity = (
                 new_capacity // self.mesh.size + 1
@@ -188,7 +188,14 @@ class LargeScaleGP:
         self.resid = (
             jnp.zeros((new_capacity,), self.resid.dtype).at[:cap].set(self.resid)
         )
-        self._factor()
+        return True
+
+    def grow(self, new_capacity: int) -> None:
+        """Re-shard to a larger capacity and REBUILD the factor (O(n^3) —
+        growth at scale cannot reuse the old sharding; reserve capacity up
+        front when possible)."""
+        if self._grow_buffers(new_capacity):
+            self._factor()
 
     def add_samples(self, x_new: Array, y_new: Array, auto_grow: bool = False) -> None:
         """O(n^2 k) distributed rank-k append (``add_samples`` at scale).
@@ -203,6 +210,7 @@ class LargeScaleGP:
         y_new = jnp.asarray(y_new, self.resid.dtype)
         k = x_new.shape[0]
         cap = self.x.shape[0]
+        grew = False
         if self.n + k > cap:
             if not auto_grow:
                 raise ValueError(
@@ -210,7 +218,13 @@ class LargeScaleGP:
                     f"a larger `capacity`, call grow(), or pass "
                     f"auto_grow=True (re-sharded growth rebuilds in O(n^3))"
                 )
-            self.grow(max(self.n + k, int(cap * 1.5)))
+            new_cap = max(self.n + k, int(cap * 1.5))
+            if self.storage == "bf16":
+                # the bf16 append refactorizes anyway — grow the buffers
+                # only, so growth + append cost ONE factorization, not two
+                grew = self._grow_buffers(new_cap)
+            else:
+                self.grow(new_cap)
             cap = self.x.shape[0]
         self.x = self.x.at[self.n : self.n + k].set(x_new)
         self.resid = self.resid.at[self.n : self.n + k].set(
@@ -218,22 +232,30 @@ class LargeScaleGP:
         )
         if self.storage == "bf16":
             # rank-updates against the ROUNDED factor go indefinite (see
-            # models/gp.add_samples_rebuild) — refactorize: O(n^3), atomic,
-            # and old+new bf16 factors together cost one f32 factor
-            n_old = self.n
-            self.n += k
-            try:
-                self._factor()
-            except CholeskyError:
-                self.n = n_old
-                self.x = self.x.at[n_old : n_old + k].set(0.0)
-                self.resid = self.resid.at[n_old : n_old + k].set(0.0)
-                self._factor()  # restore the old factor (old data unchanged)
+            # models/gp.add_samples_rebuild) — refactorize: O(n^3); compute
+            # the new factor FIRST and commit only if it validates (the
+            # current+new bf16 factors together cost one f32 factor)
+            new_l, ok = distributed_cholesky_factor(
+                self.mesh, self.kernel, self.x, self.n + k, self.noise,
+                eps=self.eps, block=self.block, method=self.method,
+                storage=self.storage,
+            )
+            if not bool(ok):
+                self.x = self.x.at[self.n : self.n + k].set(0.0)
+                self.resid = self.resid.at[self.n : self.n + k].set(0.0)
+                if grew:
+                    # the factor is stale at the pre-growth capacity;
+                    # re-factor the old data at the new sharding so the
+                    # model stays usable
+                    self._factor()
                 raise CholeskyError(
                     "distributed add_samples: refactorization with the new "
                     "points failed; consider `cholesky_epsilon` or more "
-                    "noise. The model was restored."
+                    "noise. The model was left unchanged."
                 )
+            self.l_sharded = new_l
+            self.n += k
+            self._cached_weights = None
             return
         new_l = distributed_cholesky_append(
             self.mesh, self.l_sharded, self.kernel, self.x, self.n, x_new,

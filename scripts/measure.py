@@ -70,6 +70,10 @@ def exp_factor(args):
     x = jnp.asarray(rng.normal(size=(n, args.d)), dtype)
     method = "gram_bf16" if args.dtype == "bf16" else "gram"
     backend = args.backend
+    if args.storage != "none" and backend != "streamed":
+        emit(exp="factor", backend=backend, n=n,
+             error=f"--storage {args.storage} requires --backend streamed")
+        return
 
     # reduce the (cap, cap) factor to a SCALAR inside jit (like bench.py):
     # returning/holding the 10 GB factor across timed repeats keeps two
