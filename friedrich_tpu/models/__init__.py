@@ -19,10 +19,12 @@ from .gp import (
 )
 from .multivariate_normal import MultivariateNormal
 from .optimizer import fit_kernel_noise, fit_parameters, train_step
+from .outofcore_gp import OutOfCoreGP
 
 __all__ = [
     "GaussianProcess",
     "GaussianProcessBuilder",
+    "OutOfCoreGP",
     "GPState",
     "PredictWeights",
     "derive_weights",

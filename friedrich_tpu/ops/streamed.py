@@ -354,6 +354,15 @@ def streamed_cholesky_factor(
     multi-pass modes exist to RECOVER f32 operand precision, which bf16
     storage has already discarded). Accuracy ladder in BASELINE.md.
 
+    **Validity envelope** (BASELINE.md "bf16 factor storage"): the
+    prefix's storage rounding accumulates in the downdates and the
+    trailing Schur complement goes indefinite when the noise floor is too
+    small — measured boundary ``noise^2 >~ n * 2^-15 * ampl^2``
+    (SquaredExp, unit lengthscale; n=4096 needs noise >~ 0.4). Failures
+    are DETECTED (``ok=False`` -> ``CholeskyError``); remedies: more
+    noise, ``cholesky_epsilon``, or f32 storage (optionally with a
+    multi-pass ``precision`` mode, which f32 storage keeps available).
+
     ``precision``: MXU matmul precision for the WHOLE factorization
     (downdate GEMMs, panel solves, diagonal-block factorizations) —
     ``None`` (default, inherit the ambient
