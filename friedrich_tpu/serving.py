@@ -185,7 +185,9 @@ class AcceleratedGPServer:
     :class:`GPClient`.
 
     ``model`` is anything with ``predict_mean_variance(xq)`` and a
-    ``state.x`` feature matrix (``GaussianProcess`` or ``LargeScaleGP``).
+    ``state.x`` (or bare ``.x``) feature matrix — ``GaussianProcess``,
+    ``LargeScaleGP`` (mesh-sharded factor), or ``OutOfCoreGP``
+    (host-RAM factor).
     Thread-per-connection, like the native daemon; JAX dispatch is
     serialized with a lock (device execution is already sequential —
     batching within a request is where the throughput is).

@@ -5,6 +5,7 @@ and checks the served posterior against the in-process model. The daemon
 is killed by its exact PID (GPServer.close) — never by pattern.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -183,6 +184,26 @@ def test_served_composite_kernel(tmp_path):
     want_mean, want_var = gp.predict_mean_variance(xq)
     with serving.GPServer(bundle) as srv:
         with serving.GPClient(port=srv.port) as client:
+            mean, var = client.predict_mean_variance(xq)
+    np.testing.assert_allclose(mean, np.asarray(want_mean), atol=5e-4)
+    np.testing.assert_allclose(var, np.asarray(want_var), atol=5e-4)
+
+
+def test_accelerated_server_outofcore_gp():
+    """The host-RAM-factor engine serves through the same protocol."""
+    from friedrich_tpu.models import OutOfCoreGP
+
+    n, d = 120, 3
+    x = RNG.normal(size=(n, d)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    gp = OutOfCoreGP(
+        fk.SquaredExp(jnp.float32(1.0), jnp.float32(0.9)), fp.ZeroPrior(),
+        0.3, x, y, block=24,
+    )
+    xq = RNG.normal(size=(5, d))
+    want_mean, want_var = gp.predict_mean_variance(np.asarray(xq, np.float32))
+    with serving.AcceleratedGPServer(gp) as srv:
+        with serving.GPClient(port=srv.port, timeout=60.0) as client:
             mean, var = client.predict_mean_variance(xq)
     np.testing.assert_allclose(mean, np.asarray(want_mean), atol=5e-4)
     np.testing.assert_allclose(var, np.asarray(want_var), atol=5e-4)
