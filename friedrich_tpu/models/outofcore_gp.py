@@ -16,9 +16,11 @@ sense at this scale (reference ``gaussian_process/mod.rs:226-350``):
   stream the whole factor anyway, and the rebuild keeps exactly the
   rounding story of the streamed builders.
 
-Hyperparameter FITTING at this scale should use ``LargeScaleGP`` on a
-mesh or the MCMC stack; rebuilding per fit iteration through the host
-link is possible (``set_hyperparameters``) but link-bound.
+Hyperparameter FITTING: ``fit_scaled`` / ``fit_generic`` run the same
+Hutchinson-trace ADAM as ``LargeScaleGP`` (``optimizer.rs:211-283`` /
+``:69-149`` rules), with the solves streamed through the host factor and
+the per-iteration rebuild paying the factorization's link traffic — the
+fit is link-bound on real PCIe but exact in the same sense.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ import numpy as np
 
 from ..ops.covariance import cross_covariance_train_padded, kernel_diag
 from ..ops.outofcore import (
+    outofcore_cho_solve,
     outofcore_cholesky_factor,
     outofcore_solve_lower,
     outofcore_solve_lower_t,
@@ -205,6 +208,113 @@ class OutOfCoreGP:
                 "consider `cholesky_epsilon` or more noise. The model was "
                 "restored."
             )
+
+    # -- hyperparameter fit ------------------------------------------------------
+
+    def _probes(self, num_probes: int, seed: int) -> Array:
+        """Fixed-seed Rademacher probes, zeroed on dead rows — IDENTICAL to
+        ``LargeScaleGP._probes`` so the two engines' fits are comparable."""
+        import jax
+
+        cap = self.x.shape[0]
+        key = jax.random.PRNGKey(seed)
+        probes = jnp.sign(
+            jax.random.normal(key, (cap, num_probes), dtype=self.x.dtype)
+        )
+        live = (jnp.arange(cap) < self.n)[:, None]
+        return jnp.where(live, probes, 0.0)
+
+    def _gradient_terms(self, probes: Array):
+        """Same estimator as ``LargeScaleGP._gradient_terms_inner`` with the
+        solves streamed through the host factor: ``alpha = K^-1 r``, exact
+        data-fit via streamed dK matvecs, Hutchinson ``tr(K^-1 dK_p)``."""
+        from ..ops.streamed_matvec import streamed_grad_matvec
+
+        alpha = outofcore_cho_solve(self.l_host, self.resid)
+        dk_alpha = streamed_grad_matvec(
+            self.kernel, self.x, self.n, alpha, method=self.method
+        )
+        data_fit = dk_alpha @ alpha
+        kinv_z = outofcore_cho_solve(self.l_host, probes)
+        dk_z = streamed_grad_matvec(
+            self.kernel, self.x, self.n, probes, method=self.method
+        )
+        complexity = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
+        return alpha, data_fit, complexity, kinv_z
+
+    def _run_fit(self, scaled: bool, max_iter, convergence_fraction,
+                 max_time, num_probes, seed) -> None:
+        import time as _time
+
+        from .optimizer import ADAM_EPS, AdamState, _adam_delta
+
+        probes = self._probes(num_probes, seed)
+        kparams = self.kernel.get_params()
+        kparams = jnp.where(kparams == 0.0, ADAM_EPS, kparams)
+        if scaled:
+            params = kparams
+        else:
+            params = jnp.concatenate([kparams, jnp.log(self.noise)[None]])
+        adam = AdamState(
+            params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
+        )
+        t0 = _time.monotonic()
+        for i in range(1, max_iter + 1):
+            alpha, data_fit, complexity, kinv_z = self._gradient_terms(probes)
+            if scaled:
+                scale = (self.resid @ alpha) / jnp.asarray(
+                    self.n, alpha.dtype
+                )
+                grads = (data_fit / scale - complexity) / 2.0
+                adam, delta = _adam_delta(adam, grads, jnp.asarray(i))
+                self.kernel = self.kernel.with_params(adam.params).rescale(
+                    scale
+                )
+                self.noise = self.noise * scale
+                adam = adam.replace(params=self.kernel.get_params())
+            else:
+                grads_kernel = (data_fit - complexity) / 2.0
+                tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
+                noise_grad = (
+                    self.noise * (alpha @ alpha - tr_kinv) * self.noise
+                )
+                grads = jnp.concatenate([grads_kernel, noise_grad[None]])
+                adam, delta = _adam_delta(adam, grads, jnp.asarray(i))
+                self.kernel = self.kernel.with_params(adam.params[:-1])
+                self.noise = jnp.exp(adam.params[-1])
+            progress = bool(jnp.any(jnp.abs(delta) > convergence_fraction))
+            try:
+                self._factor()
+            except CholeskyError:
+                raise CholeskyError(
+                    "out-of-core fit: factorization failed at the updated "
+                    "hyperparameters; consider `cholesky_epsilon`."
+                )
+            if (not progress) or (_time.monotonic() - t0 > max_time):
+                break
+
+    def fit_scaled(self, max_iter: int = 100,
+                   convergence_fraction: float = 0.05,
+                   max_time: float = 3600.0, num_probes: int = 8,
+                   seed: int = 0) -> None:
+        """Scaled ADAM fit (``optimizer.rs:211-283`` rules) — scalable
+        kernels only; solves stream through the host factor."""
+        if not self.kernel.is_scalable:
+            raise NotImplementedError(
+                "fit_scaled needs a scalable kernel "
+                "(SquaredExp/Exponential/Matern); use fit_generic"
+            )
+        self._run_fit(True, max_iter, convergence_fraction, max_time,
+                      num_probes, seed)
+
+    def fit_generic(self, max_iter: int = 100,
+                    convergence_fraction: float = 0.05,
+                    max_time: float = 3600.0, num_probes: int = 8,
+                    seed: int = 0) -> None:
+        """Generic-path ADAM fit (``optimizer.rs:69-149`` rules): any
+        kernel, noise fitted in log-space."""
+        self._run_fit(False, max_iter, convergence_fraction, max_time,
+                      num_probes, seed)
 
     def set_hyperparameters(self, kernel=None, noise: Optional[float] = None,
                             prior=None) -> None:

@@ -127,3 +127,42 @@ def test_outofcore_gp_failure_restores():
     np.testing.assert_allclose(
         np.asarray(gp.predict(x[:3])), before, atol=1e-6
     )
+
+
+def test_outofcore_fit_matches_large_scale():
+    """Same estimator, same fixed probes, same ADAM rules: the out-of-core
+    fit must track LargeScaleGP's trajectory on one device to float
+    tolerance."""
+    import jax
+    from jax.sharding import Mesh
+    from friedrich_tpu.parallel.large_scale import LargeScaleGP
+
+    x, y = _data(n=96)
+    kern = fk.SquaredExp(ls=jnp.float32(0.8), ampl=jnp.float32(1.0))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    ref = LargeScaleGP(mesh, kern, ZeroPrior(), 0.3, x, y, block=16)
+    ref.fit_scaled(max_iter=4, num_probes=4, seed=0)
+    gp = OutOfCoreGP(kern, ZeroPrior(), 0.3, x, y, block=16)
+    gp.fit_scaled(max_iter=4, num_probes=4, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(gp.kernel.get_params()),
+        np.asarray(ref.kernel.get_params()), rtol=2e-3,
+    )
+    np.testing.assert_allclose(
+        float(gp.noise), float(ref.noise), rtol=2e-3
+    )
+    before = gp.log_marginal_likelihood()
+    gp.fit_generic(max_iter=3, num_probes=4, seed=0)
+    assert np.isfinite(gp.log_marginal_likelihood())
+    # the generic path moves parameters too (not a no-op)
+    assert np.isfinite(float(gp.noise)) and float(gp.noise) > 0
+
+
+def test_outofcore_fit_scaled_requires_scalable():
+    x, y = _data(n=32)
+    gp = OutOfCoreGP(
+        fk.RationalQuadratic(alpha=jnp.float32(1.0), ls=jnp.float32(1.0)),
+        ZeroPrior(), 0.3, x, y, block=8,
+    )
+    with pytest.raises(NotImplementedError):
+        gp.fit_scaled(max_iter=1)
