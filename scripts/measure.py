@@ -52,12 +52,15 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+_NOISE = 1.0  # set from --noise in main()
+
+
 def _kernel_noise(dtype):
     import friedrich_tpu.kernels as fk
 
     return (
         fk.SquaredExp(ls=jnp.asarray(0.5, dtype), ampl=jnp.asarray(1.0, dtype)),
-        jnp.asarray(1.0, dtype),
+        jnp.asarray(_NOISE, dtype),
     )
 
 
@@ -490,12 +493,19 @@ def main(argv=None):
                         "(streamed backend only)")
     p.add_argument("--storage", default="none", choices=["none", "bf16"],
                    help="factor STORAGE dtype (streamed backend only)")
+    p.add_argument("--noise", type=float, default=1.0,
+                   help="observation-noise std for factor/cov/predict "
+                        "experiments (bf16 STORAGE needs "
+                        "noise^2 >~ n*2^-15 — BASELINE.md envelope)")
     p.add_argument("--gp-n", type=int, default=1024)
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--repeats", type=int, default=2)
     args = p.parse_args(argv)
+
+    global _NOISE
+    _NOISE = args.noise
 
     exps = list(args.exps)
     if "all" in exps:
