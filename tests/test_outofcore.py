@@ -139,3 +139,27 @@ def test_outofcore_validation():
         outofcore_cholesky_factor(
             kern, x.astype(jnp.float64), n, noise, block=16
         )
+
+
+@pytest.mark.parametrize("kern", [
+    fk.Matern2(ls=1.1, ampl=0.8),
+    fk.SquaredExp(ls=0.7, ampl=1.0) + fk.Linear(c=0.2),
+    fk.RationalQuadratic(alpha=1.2, ls=0.9),
+], ids=lambda k: type(k).__name__)
+def test_outofcore_factor_kernel_sweep(kern):
+    """Out-of-core build+factor across kernel families (incl. composition)
+    matches the dense factorization — same parity net as the in-HBM
+    backends (tests/test_f32_backends.py)."""
+    rng = np.random.default_rng(9)
+    n, cap = 100, 128
+    x = jnp.zeros((cap, 3), jnp.float32).at[:n].set(
+        jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    )
+    noise = jnp.float32(0.35)
+    k64 = np.asarray(train_covariance_padded(kern, x, n, noise), np.float64)
+    want = np.linalg.cholesky(k64)
+    l_host, ok = outofcore_cholesky_factor(kern, x, n, noise, block=16)
+    assert ok
+    np.testing.assert_allclose(
+        np.asarray(l_host, np.float64), want, atol=5e-5
+    )
