@@ -65,6 +65,40 @@ def rsolve_lower_t(ld: Array, s: Array) -> Array:
     return solve_triangular(ld, s.T, lower=True).T
 
 
+def rsolve_lower_t_blocked(ld: Array, s: Array, sub: int) -> Array:
+    """``s @ Ld^-T`` via ``sub`` column sub-blocks of the (b, b) factor.
+
+    The plain inverse-GEMM (:func:`rsolve_lower_t`) applies a DENSE
+    (b, b) inverse — m*b^2 MACs, half of them against structural zeros.
+    Blocked forward substitution over ``sub`` column blocks costs
+    m*b^2*(sub+1)/(2*sub) MACs (down to half at large ``sub``) at the
+    price of a ``sub``-step sequential chain; the streamed factorizer
+    threads this through as a headline-op tuning knob
+    (``solve_blocks``). Static shapes throughout — callers pass
+    trace-time ``sub`` dividing ``b``.
+    """
+    if sub <= 1 or ld.shape[0] % sub != 0 or s.dtype != jnp.float32:
+        return rsolve_lower_t(ld, s)
+    b = ld.shape[0]
+    m = s.shape[0]
+    w = b // sub
+    out = jnp.zeros_like(s)
+    for j in range(sub):
+        c = lax.slice(s, (0, j * w), (m, (j + 1) * w))
+        if j > 0:
+            prefix = lax.slice(out, (0, 0), (m, j * w))
+            l_rows = lax.slice(ld, (j * w, 0), ((j + 1) * w, j * w))
+            c = c - jax.lax.dot_general(
+                prefix, l_rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=s.dtype,
+            )
+        ljj = lax.slice(ld, (j * w, j * w), ((j + 1) * w, (j + 1) * w))
+        blk = jnp.dot(c, lower_inverse(ljj).T, preferred_element_type=s.dtype)
+        out = lax.dynamic_update_slice(out, blk, (0, j * w))
+    return out
+
+
 def solve_lower_blockdiag(ld: Array, r: Array) -> Array:
     """``Ld^-1 r`` for a (b, m) block against a (b, b) lower factor — same
     dtype-gated inverse-GEMM trick as :func:`rsolve_lower_t`."""

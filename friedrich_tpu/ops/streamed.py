@@ -38,7 +38,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .cholesky import cholesky_with_substitute, rsolve_lower_t
+from .cholesky import (
+    cholesky_with_substitute, rsolve_lower_t, rsolve_lower_t_blocked,
+)
 from .covariance import cross_covariance, kernel_diag
 
 Array = jnp.ndarray
@@ -155,12 +157,13 @@ def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "treedef", "block", "method", "eps", "fused", "precision", "storage"
+        "treedef", "block", "method", "eps", "fused", "precision", "storage",
+        "solve_blocks",
     ),
 )
 def _streamed_unrolled_impl(
     leaves, treedef, x_pad, n, noise, eps, block, method, fused=False,
-    precision=None, storage=None,
+    precision=None, storage=None, solve_blocks=1,
 ):
     """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
     time, so every column strip has a STATIC height ``cap - j0``.
@@ -190,20 +193,22 @@ def _streamed_unrolled_impl(
     )
     with _precision_scope(precision):
         return _unrolled_body(
-            kernel, x_pad, n, noise, eps, block, method, l_full, fused
+            kernel, x_pad, n, noise, eps, block, method, l_full, fused,
+            solve_blocks,
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "treedef", "block", "method", "eps", "fused", "precision"
+        "treedef", "block", "method", "eps", "fused", "precision",
+        "solve_blocks",
     ),
     donate_argnums=(8,),
 )
 def _streamed_unrolled_donate(
     leaves, treedef, x_pad, n, noise, eps, block, method, l0, fused=False,
-    precision=None,
+    precision=None, solve_blocks=1,
 ):
     # storage dtype rides on l0 (the caller allocates/donates the buffer)
     """Host-level entry: the caller allocates the (cap, cap) zeros buffer
@@ -215,12 +220,13 @@ def _streamed_unrolled_donate(
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
     with _precision_scope(precision):
         return _unrolled_body(
-            kernel, x_pad, n, noise, eps, block, method, l0, fused
+            kernel, x_pad, n, noise, eps, block, method, l0, fused,
+            solve_blocks,
         )
 
 
 def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
-                   fused=False):
+                   fused=False, solve_blocks=1):
     cap, d = x_pad.shape
     num_panels = cap // block
     dtype = x_pad.dtype  # COMPUTE dtype; l_full.dtype may be bf16 storage
@@ -264,8 +270,9 @@ def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
         else:
             ld = cholesky_with_substitute(diag_blk, eps, block=128)
         if rest > block:
-            below = rsolve_lower_t(
-                ld, lax.slice(strip, (block, 0), (rest, block))
+            below = rsolve_lower_t_blocked(
+                ld, lax.slice(strip, (block, 0), (rest, block)),
+                solve_blocks,
             )
             panel_out = jnp.concatenate([ld, below], axis=0)
         else:
@@ -314,6 +321,7 @@ def streamed_cholesky_factor(
     fused: Optional[bool] = None,
     precision: Optional[str] = None,
     storage: Optional[str] = None,
+    solve_blocks: int = 1,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -362,6 +370,14 @@ def streamed_cholesky_factor(
     are DETECTED (``ok=False`` -> ``CholeskyError``); remedies: more
     noise, ``cholesky_epsilon``, or f32 storage (optionally with a
     multi-pass ``precision`` mode, which f32 storage keeps available).
+
+    ``solve_blocks``: sub-blocking factor for each panel's trailing
+    solve on the unrolled f32 path (``rsolve_lower_t_blocked``) — >1
+    replaces the dense inverse-GEMM (m*B^2 MACs) with blocked forward
+    substitution (m*B^2*(k+1)/(2k) MACs) at the cost of a k-step
+    sequential chain per panel. 1 (default) keeps the single-GEMM
+    solve; must divide ``block``. A tuning knob for the headline op —
+    measured A/B in BASELINE.md.
 
     ``precision``: MXU matmul precision for the WHOLE factorization
     (downdate GEMMs, panel solves, diagonal-block factorizations) —
@@ -416,6 +432,10 @@ def streamed_cholesky_factor(
                 f"{precision!r}: multi-pass modes recover f32 operand "
                 "precision that bf16 storage has already discarded"
             )
+    if solve_blocks > 1 and block % solve_blocks != 0:
+        raise ValueError(
+            f"solve_blocks={solve_blocks} must divide block={block}"
+        )
     store_dtype = STORAGE_DTYPES[storage] or x_pad.dtype
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     args = (
@@ -428,7 +448,8 @@ def streamed_cholesky_factor(
         # inside an outer jit the call inlines (donation is meaningless
         # and the result is a temp, which XLA aliases in place anyway)
         return _streamed_unrolled_impl(
-            *args, fused=fused, precision=precision, storage=storage
+            *args, fused=fused, precision=precision, storage=storage,
+            solve_blocks=solve_blocks,
         )
     if l0 is None or isinstance(l0, jax.core.Tracer):
         l0 = jnp.zeros((cap, cap), dtype=store_dtype)
@@ -438,5 +459,6 @@ def streamed_cholesky_factor(
             f"storage dtype {store_dtype}"
         )
     return _streamed_unrolled_donate(
-        *args, l0, fused=fused, precision=precision
+        *args, l0, fused=fused, precision=precision,
+        solve_blocks=solve_blocks,
     )

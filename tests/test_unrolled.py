@@ -130,3 +130,62 @@ def test_unrolled_cho_solve_1d_rhs():
     )
     assert got.shape == (n,)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+class TestSolveBlocks:
+    """Sub-blocked panel solves (``solve_blocks`` / ``rsolve_lower_t_blocked``):
+    a headline-op FLOP knob that must not move results beyond f32 rounding."""
+
+    @pytest.mark.parametrize("sub", [2, 4])
+    def test_rsolve_blocked_matches_plain(self, sub):
+        from friedrich_tpu.ops.cholesky import (
+            rsolve_lower_t, rsolve_lower_t_blocked,
+        )
+
+        b, m = 32, 80
+        a = RNG.normal(size=(b, b))
+        ld = jnp.asarray(np.linalg.cholesky(a @ a.T + b * np.eye(b)), jnp.float32)
+        s = jnp.asarray(RNG.normal(size=(m, b)), jnp.float32)
+        plain = rsolve_lower_t(ld, s)
+        blocked = rsolve_lower_t_blocked(ld, s, sub)
+        np.testing.assert_allclose(
+            np.asarray(blocked), np.asarray(plain), atol=2e-5
+        )
+
+    def test_rsolve_blocked_f64_oracle(self):
+        from friedrich_tpu.ops.cholesky import rsolve_lower_t_blocked
+
+        b, m = 24, 40
+        a = RNG.normal(size=(b, b))
+        ld64 = np.linalg.cholesky(a @ a.T + b * np.eye(b))
+        s64 = RNG.normal(size=(m, b))
+        want = s64 @ np.linalg.inv(ld64).T
+        got = rsolve_lower_t_blocked(
+            jnp.asarray(ld64, jnp.float32), jnp.asarray(s64, jnp.float32), 4
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+    @pytest.mark.parametrize("sub", [2, 4])
+    def test_unrolled_factor_solve_blocks(self, sub):
+        x = jnp.asarray(RNG.normal(size=(96, 3)), jnp.float32)
+        kern = fk.Matern2(ls=jnp.float32(1.1), ampl=jnp.float32(0.8))
+        noise = jnp.float32(0.4)
+        base, ok0 = streamed_cholesky_factor(
+            kern, x, 80, noise, block=16, unroll=True
+        )
+        lsub, ok1 = streamed_cholesky_factor(
+            kern, x, 80, noise, block=16, unroll=True, solve_blocks=sub
+        )
+        assert bool(ok0) and bool(ok1)
+        np.testing.assert_allclose(
+            np.asarray(lsub), np.asarray(base), atol=5e-6
+        )
+
+    def test_solve_blocks_must_divide(self):
+        x = jnp.asarray(RNG.normal(size=(32, 3)), jnp.float32)
+        kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+        with pytest.raises(ValueError, match="solve_blocks"):
+            streamed_cholesky_factor(
+                kern, x, 32, jnp.float32(0.3), block=16, unroll=True,
+                solve_blocks=3,
+            )
