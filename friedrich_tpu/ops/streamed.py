@@ -228,13 +228,16 @@ def _streamed_unrolled_donate(
 def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
                    fused=False, solve_blocks=1):
     cap, d = x_pad.shape
-    num_panels = cap // block
+    # ``block`` may be a single width or a per-panel width schedule
+    # (tuple summing to cap) — uneven panels let the solve-heavy early
+    # panels run narrow and the downdate-heavy late panels run wide.
+    widths = (block,) * (cap // block) if isinstance(block, int) else block
     dtype = x_pad.dtype  # COMPUTE dtype; l_full.dtype may be bf16 storage
     if fused:
         from .pallas.panel_fused import fused_panel_strip
 
-    for j in range(num_panels):  # trace-time unroll: j0/rest are static
-        j0 = j * block
+    j0 = 0
+    for j, block in enumerate(widths):  # trace-time unroll: static shapes
         rest = cap - j0
         xj = lax.slice(x_pad, (j0, 0), (j0 + block, d))
         x_tail = lax.slice(x_pad, (j0, 0), (cap, d))
@@ -287,6 +290,7 @@ def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
         l_full = lax.dynamic_update_slice(
             l_full, panel_out.astype(l_full.dtype), (j0, j0)
         )
+        j0 += block
 
     # finiteness probe over the whole factor, no temp (see ops/cholesky.
     # factor); accumulate bf16 storage in f32
@@ -328,6 +332,10 @@ def streamed_cholesky_factor(
     Drop-in for ``train_covariance_padded`` + ``factor``; requires
     ``capacity % block == 0`` (callers pick block accordingly; any block
     that divides capacity works, smaller than 128 wastes the MXU).
+    ``block`` may instead be a per-panel width SCHEDULE (tuple/list
+    summing to capacity, unrolled path only): uneven panels let the
+    solve-heavy early panels run narrow and the late panels run wide —
+    a headline-op tuning knob (see BASELINE.md).
 
     ``unroll=None`` (default) picks the trace-time-unrolled FLOP-optimal
     program when the panel count permits (:data:`MAX_UNROLL_PANELS`),
@@ -395,10 +403,25 @@ def streamed_cholesky_factor(
     from .pallas.panel_fused import fused_supported
 
     cap = x_pad.shape[0]
-    block = pick_block(cap, block)
-    if unroll is None:
-        unroll = cap // block <= MAX_UNROLL_PANELS
-    supported = unroll and fused_supported(cap, block, x_pad.dtype)
+    if isinstance(block, (tuple, list)):
+        # per-panel width SCHEDULE: only the trace-time-unrolled program
+        # supports uneven panels (the fori body needs one static width)
+        widths = tuple(int(w) for w in block)
+        if any(w <= 0 for w in widths) or sum(widths) != cap:
+            raise ValueError(
+                f"panel width schedule must be positive and sum to the "
+                f"capacity {cap}, got {widths}"
+            )
+        if unroll is False:
+            raise ValueError("a panel width schedule requires unroll=True")
+        unroll = True
+        block = widths
+        supported = False
+    else:
+        block = pick_block(cap, block)
+        if unroll is None:
+            unroll = cap // block <= MAX_UNROLL_PANELS
+        supported = unroll and fused_supported(cap, block, x_pad.dtype)
     if fused is None:
         fused = False
     elif fused and not supported:
@@ -432,10 +455,13 @@ def streamed_cholesky_factor(
                 f"{precision!r}: multi-pass modes recover f32 operand "
                 "precision that bf16 storage has already discarded"
             )
-    if solve_blocks > 1 and block % solve_blocks != 0:
-        raise ValueError(
-            f"solve_blocks={solve_blocks} must divide block={block}"
-        )
+    if solve_blocks > 1:
+        for w in block if isinstance(block, tuple) else (block,):
+            if w % solve_blocks != 0:
+                raise ValueError(
+                    f"solve_blocks={solve_blocks} must divide every panel "
+                    f"width (got {w})"
+                )
     store_dtype = STORAGE_DTYPES[storage] or x_pad.dtype
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     args = (

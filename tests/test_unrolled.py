@@ -189,3 +189,49 @@ class TestSolveBlocks:
                 kern, x, 32, jnp.float32(0.3), block=16, unroll=True,
                 solve_blocks=3,
             )
+
+
+class TestWidthSchedule:
+    """Uneven per-panel width schedules (unrolled path only)."""
+
+    def test_schedule_matches_uniform(self):
+        x = jnp.asarray(RNG.normal(size=(96, 3)), jnp.float32)
+        kern = fk.Matern2(ls=jnp.float32(1.1), ampl=jnp.float32(0.8))
+        noise = jnp.float32(0.4)
+        base, ok0 = streamed_cholesky_factor(
+            kern, x, 80, noise, block=16, unroll=True
+        )
+        sched, ok1 = streamed_cholesky_factor(
+            kern, x, 80, noise, block=(8, 8, 16, 16, 24, 24)
+        )
+        assert bool(ok0) and bool(ok1)
+        np.testing.assert_allclose(
+            np.asarray(sched), np.asarray(base), atol=5e-6
+        )
+
+    def test_schedule_with_eps_and_solve_blocks(self):
+        x = jnp.asarray(RNG.normal(size=(64, 3)), jnp.float32)
+        kern = fk.SquaredExp(ls=jnp.float32(0.9), ampl=jnp.float32(1.0))
+        noise = jnp.float32(0.3)
+        base, ok0 = streamed_cholesky_factor(
+            kern, x, 64, noise, eps=1e-4, block=16, unroll=True
+        )
+        sched, ok1 = streamed_cholesky_factor(
+            kern, x, 64, noise, eps=1e-4, block=[16, 16, 32], solve_blocks=4
+        )
+        assert bool(ok0) and bool(ok1)
+        np.testing.assert_allclose(
+            np.asarray(sched), np.asarray(base), atol=5e-6
+        )
+
+    def test_schedule_validation(self):
+        x = jnp.asarray(RNG.normal(size=(32, 3)), jnp.float32)
+        kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+        with pytest.raises(ValueError, match="sum to the capacity"):
+            streamed_cholesky_factor(
+                kern, x, 32, jnp.float32(0.3), block=(16, 8)
+            )
+        with pytest.raises(ValueError, match="unroll=True"):
+            streamed_cholesky_factor(
+                kern, x, 32, jnp.float32(0.3), block=(16, 16), unroll=False
+            )
