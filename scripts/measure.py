@@ -100,10 +100,15 @@ def exp_factor(args):
 
             prec = None if args.precision == "ambient" else args.precision
             stor = None if args.storage == "none" else args.storage
+            blk = (
+                tuple(int(w) for w in args.blocks.split(","))
+                if args.blocks else args.block
+            )
             f = jax.jit(
                 lambda x: _scalarize(streamed_cholesky_factor(
-                    kern, x, n, noise, block=args.block, method=method,
+                    kern, x, n, noise, block=blk, method=method,
                     precision=prec, storage=stor,
+                    solve_blocks=args.solve_blocks,
                 ))
             )
         elif backend == "tiled":
@@ -125,7 +130,9 @@ def exp_factor(args):
             )
         t = timeit(f, x, r=args.repeats)
         emit(
-            exp="factor", backend=backend, n=n, block=args.block,
+            exp="factor", backend=backend, n=n,
+            block=args.blocks or args.block,
+            solve_blocks=args.solve_blocks,
             levels=args.levels, dtype=args.dtype, precision=args.precision,
             storage=args.storage, seconds=round(t, 4),
             eff_tflops=round(n**3 / 3 / t / 1e12, 1),
@@ -485,6 +492,12 @@ def main(argv=None):
     p.add_argument("--m", type=int, default=4096)
     p.add_argument("--d", type=int, default=8)
     p.add_argument("--block", type=int, default=2500)
+    p.add_argument("--blocks", type=str, default=None,
+                   help="comma-separated per-panel width schedule summing "
+                        "to n (streamed unrolled only; overrides --block)")
+    p.add_argument("--solve-blocks", type=int, default=1,
+                   help="sub-blocking factor for the unrolled panel "
+                        "solves (streamed backend only)")
     p.add_argument("--levels", type=int, default=2)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--precision", default="ambient",
