@@ -107,6 +107,47 @@ def solve_lower_blockdiag(ld: Array, r: Array) -> Array:
     return solve_triangular(ld, r, lower=True)
 
 
+def blocked_diag_cholesky(a: Array, sub: int) -> Array:
+    """Cholesky of a (b, b) panel-diagonal block via ``sub`` trace-time-
+    unrolled column blocks — left-looking, GEMM-dominated.
+
+    XLA's monolithic ``jnp.linalg.cholesky`` at headline panel widths
+    (b=5000) schedules its own internal loop with narrow (128-wide)
+    TRSMs; splitting the block here turns ~(1 - 1/sub²) of its FLOPs
+    into fat-K downdate GEMMs + inverse-GEMM panel solves (the same
+    structure as the outer unrolled factorizer,
+    ``ops/streamed._unrolled_body``), leaving only ``sub`` small
+    (b/sub)² native factorizations. float32 only — the f64 parity paths
+    keep the native factorization.
+    """
+    if sub <= 1 or a.shape[0] % sub != 0 or a.dtype != jnp.float32:
+        return jnp.linalg.cholesky(a)
+    b = a.shape[0]
+    w = b // sub
+    l = jnp.zeros_like(a)
+    j0 = 0
+    for j in range(sub):
+        rest = b - j0
+        s = lax.slice(a, (j0, j0), (b, j0 + w))
+        if j > 0:
+            l_tail = lax.slice(l, (j0, 0), (b, j0))
+            l_rows = lax.slice(l, (j0, 0), (j0 + w, j0))
+            s = s - lax.dot_general(
+                l_tail, l_rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=a.dtype,
+            )
+        ld = jnp.linalg.cholesky(lax.slice(s, (0, 0), (w, w)))
+        if rest > w:
+            below = rsolve_lower_t(ld, lax.slice(s, (w, 0), (rest, w)))
+            panel = jnp.concatenate([ld, below], axis=0)
+        else:
+            panel = ld
+        l = lax.dynamic_update_slice(l, panel, (j0, j0))
+        j0 += w
+    return l
+
+
 def cholesky(k_mat: Array) -> tuple[Array, Array]:
     """Fast path: XLA-native Cholesky + an ``ok`` flag (finite diagonal).
 

@@ -39,7 +39,8 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 from .cholesky import (
-    cholesky_with_substitute, rsolve_lower_t, rsolve_lower_t_blocked,
+    blocked_diag_cholesky, cholesky_with_substitute, rsolve_lower_t,
+    rsolve_lower_t_blocked,
 )
 from .covariance import cross_covariance, kernel_diag
 
@@ -158,12 +159,12 @@ def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
     jax.jit,
     static_argnames=(
         "treedef", "block", "method", "eps", "fused", "precision", "storage",
-        "solve_blocks",
+        "solve_blocks", "diag_blocks",
     ),
 )
 def _streamed_unrolled_impl(
     leaves, treedef, x_pad, n, noise, eps, block, method, fused=False,
-    precision=None, storage=None, solve_blocks=1,
+    precision=None, storage=None, solve_blocks=1, diag_blocks=1,
 ):
     """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
     time, so every column strip has a STATIC height ``cap - j0``.
@@ -194,7 +195,7 @@ def _streamed_unrolled_impl(
     with _precision_scope(precision):
         return _unrolled_body(
             kernel, x_pad, n, noise, eps, block, method, l_full, fused,
-            solve_blocks,
+            solve_blocks, diag_blocks,
         )
 
 
@@ -202,13 +203,13 @@ def _streamed_unrolled_impl(
     jax.jit,
     static_argnames=(
         "treedef", "block", "method", "eps", "fused", "precision",
-        "solve_blocks",
+        "solve_blocks", "diag_blocks",
     ),
     donate_argnums=(8,),
 )
 def _streamed_unrolled_donate(
     leaves, treedef, x_pad, n, noise, eps, block, method, l0, fused=False,
-    precision=None, solve_blocks=1,
+    precision=None, solve_blocks=1, diag_blocks=1,
 ):
     # storage dtype rides on l0 (the caller allocates/donates the buffer)
     """Host-level entry: the caller allocates the (cap, cap) zeros buffer
@@ -226,7 +227,7 @@ def _streamed_unrolled_donate(
 
 
 def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
-                   fused=False, solve_blocks=1):
+                   fused=False, solve_blocks=1, diag_blocks=1):
     cap, d = x_pad.shape
     # ``block`` may be a single width or a per-panel width schedule
     # (tuple summing to cap) — uneven panels let the solve-heavy early
@@ -269,7 +270,7 @@ def _unrolled_body(kernel, x_pad, n, noise, eps, block, method, l_full,
 
         diag_blk = lax.slice(strip, (0, 0), (block, block))
         if eps is None:
-            ld = jnp.linalg.cholesky(diag_blk)
+            ld = blocked_diag_cholesky(diag_blk, diag_blocks)
         else:
             ld = cholesky_with_substitute(diag_blk, eps, block=128)
         if rest > block:
@@ -326,6 +327,7 @@ def streamed_cholesky_factor(
     precision: Optional[str] = None,
     storage: Optional[str] = None,
     solve_blocks: int = 1,
+    diag_blocks: int = 1,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -462,6 +464,15 @@ def streamed_cholesky_factor(
                     f"solve_blocks={solve_blocks} must divide every panel "
                     f"width (got {w})"
                 )
+    if diag_blocks > 1:
+        if not unroll:
+            raise ValueError("diag_blocks>1 requires the unrolled path")
+        for w in block if isinstance(block, tuple) else (block,):
+            if w % diag_blocks != 0:
+                raise ValueError(
+                    f"diag_blocks={diag_blocks} must divide every panel "
+                    f"width (got {w})"
+                )
     store_dtype = STORAGE_DTYPES[storage] or x_pad.dtype
     leaves, treedef = jax.tree_util.tree_flatten(kernel)
     args = (
@@ -475,7 +486,7 @@ def streamed_cholesky_factor(
         # and the result is a temp, which XLA aliases in place anyway)
         return _streamed_unrolled_impl(
             *args, fused=fused, precision=precision, storage=storage,
-            solve_blocks=solve_blocks,
+            solve_blocks=solve_blocks, diag_blocks=diag_blocks,
         )
     if l0 is None or isinstance(l0, jax.core.Tracer):
         l0 = jnp.zeros((cap, cap), dtype=store_dtype)
@@ -486,5 +497,5 @@ def streamed_cholesky_factor(
         )
     return _streamed_unrolled_donate(
         *args, l0, fused=fused, precision=precision,
-        solve_blocks=solve_blocks,
+        solve_blocks=solve_blocks, diag_blocks=diag_blocks,
     )

@@ -109,6 +109,7 @@ def exp_factor(args):
                     kern, x, n, noise, block=blk, method=method,
                     precision=prec, storage=stor,
                     solve_blocks=args.solve_blocks,
+                    diag_blocks=args.diag_blocks,
                 ))
             )
         elif backend == "tiled":
@@ -133,6 +134,7 @@ def exp_factor(args):
             exp="factor", backend=backend, n=n,
             block=args.blocks or args.block,
             solve_blocks=args.solve_blocks,
+            diag_blocks=args.diag_blocks,
             levels=args.levels, dtype=args.dtype, precision=args.precision,
             storage=args.storage, seconds=round(t, 4),
             eff_tflops=round(n**3 / 3 / t / 1e12, 1),
@@ -498,6 +500,9 @@ def main(argv=None):
     p.add_argument("--solve-blocks", type=int, default=1,
                    help="sub-blocking factor for the unrolled panel "
                         "solves (streamed backend only)")
+    p.add_argument("--diag-blocks", type=int, default=1,
+                   help="sub-blocking factor for the unrolled panel "
+                        "DIAGONAL factorizations (streamed backend only)")
     p.add_argument("--levels", type=int, default=2)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--precision", default="ambient",

@@ -181,6 +181,45 @@ class TestSolveBlocks:
             np.asarray(lsub), np.asarray(base), atol=5e-6
         )
 
+    @pytest.mark.parametrize("sub", [2, 4])
+    def test_unrolled_factor_diag_blocks(self, sub):
+        x = jnp.asarray(RNG.normal(size=(96, 3)), jnp.float32)
+        kern = fk.Matern2(ls=jnp.float32(1.1), ampl=jnp.float32(0.8))
+        noise = jnp.float32(0.4)
+        base, ok0 = streamed_cholesky_factor(
+            kern, x, 80, noise, block=16, unroll=True
+        )
+        lsub, ok1 = streamed_cholesky_factor(
+            kern, x, 80, noise, block=16, unroll=True, diag_blocks=sub,
+            solve_blocks=sub,
+        )
+        assert bool(ok0) and bool(ok1)
+        np.testing.assert_allclose(
+            np.asarray(lsub), np.asarray(base), atol=5e-6
+        )
+
+    def test_blocked_diag_cholesky_f64_oracle(self):
+        from friedrich_tpu.ops.cholesky import blocked_diag_cholesky
+
+        b = 64
+        a = RNG.normal(size=(b, b))
+        spd = a @ a.T + b * np.eye(b)
+        want = np.linalg.cholesky(spd)
+        got = blocked_diag_cholesky(jnp.asarray(spd, jnp.float32), 4)
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+        # f64 inputs fall back to the native factorization unchanged
+        got64 = blocked_diag_cholesky(jnp.asarray(spd), 4)
+        np.testing.assert_allclose(np.asarray(got64), want, atol=1e-10)
+
+    def test_diag_blocks_must_divide(self):
+        x = jnp.asarray(RNG.normal(size=(32, 3)), jnp.float32)
+        kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+        with pytest.raises(ValueError, match="diag_blocks"):
+            streamed_cholesky_factor(
+                kern, x, 32, jnp.float32(0.3), block=16, unroll=True,
+                diag_blocks=3,
+            )
+
     def test_solve_blocks_must_divide(self):
         x = jnp.asarray(RNG.normal(size=(32, 3)), jnp.float32)
         kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
