@@ -107,9 +107,12 @@ class GaussianProcess:
         backend: str = "dense",
         storage: Optional[str] = None,
         dtype=None,
+        panel_block: Optional[int] = None,
     ) -> "GaussianProcess":
         """Raw constructor (``mod.rs:142-167``). ``dtype`` overrides the
-        ambient default compute dtype (see builder ``set_dtype``)."""
+        ambient default compute dtype (see builder ``set_dtype``).
+        ``panel_block`` overrides the streamed backend's tuned auto panel
+        width (``ops/partition.auto_panel_block``)."""
         if noise < 0:
             raise ConfigError(
                 f"The noise parameter should be non-negative but we tried to "
@@ -132,6 +135,7 @@ class GaussianProcess:
         state, ok = core.make_state(
             kernel, prior, noise, x, y, eps=cholesky_epsilon, method=method,
             cap=capacity, backend=backend, storage=storage,
+            block=panel_block,
         )
         if not bool(ok):
             raise CholeskyError()

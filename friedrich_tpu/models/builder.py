@@ -53,6 +53,7 @@ class GaussianProcessBuilder:
         self._backend = "dense"
         self._storage: Optional[str] = None
         self._dtype = None
+        self._panel_block: Optional[int] = None
 
     # -- setters (builder.rs:102-182) ----------------------------------------
 
@@ -149,6 +150,18 @@ class GaussianProcessBuilder:
         self._storage = storage
         return self
 
+    def set_panel_block(self, block: Optional[int]) -> "GaussianProcessBuilder":
+        """Panel width for the streamed backend's fused build+factor.
+        ``None`` (default) applies the TUNED auto policy — block ~ cap/10,
+        the measured headline optimum (BASELINE.md) — so
+        ``set_backend('streamed')`` reproduces the benchmark schedule
+        without manual tuning. Pass an explicit width to override (must
+        divide the padded capacity for best efficiency)."""
+        if block is not None and block <= 0:
+            raise ConfigError("panel block must be strictly positive")
+        self._panel_block = block
+        return self
+
     # -- train (builder.rs:189-214) ----------------------------------------------
 
     def train(self) -> GaussianProcess:
@@ -183,6 +196,7 @@ class GaussianProcessBuilder:
             backend=self._backend,
             storage=self._storage,
             dtype=self._dtype,
+            panel_block=self._panel_block,
         )
         if self._should_fit_prior or self._should_fit_kernel:
             gp.fit_parameters(

@@ -69,6 +69,10 @@ class GPState:
     # f32 compute — halves factor HBM; streamed backend only). See
     # ops/streamed.streamed_cholesky_factor.
     storage: Optional[str] = struct.field(pytree_node=False, default=None)
+    # streamed-backend panel width; None = the tuned auto policy
+    # (ops/partition.auto_panel_block: block ~ cap/10, the measured
+    # headline optimum — see BASELINE.md)
+    block: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def capacity(self) -> int:
@@ -97,15 +101,16 @@ _AUTO_LARGE_THRESHOLD = 8192
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend,
-                  l0=None, storage=None):
+                  l0=None, storage=None, block=None):
     with jax.named_scope(f"gp/build_factor[{backend}]"):
         return _build_factor_impl(
-            kernel, x_pad, n_arr, noise, eps, method, backend, l0, storage
+            kernel, x_pad, n_arr, noise, eps, method, backend, l0, storage,
+            block,
         )
 
 
 def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
-                       l0=None, storage=None):
+                       l0=None, storage=None, block=None):
     if backend == "auto":
         # Above the dense threshold the trace-time-unrolled streamed
         # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
@@ -123,7 +128,7 @@ def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
 
         return streamed_cholesky_factor(
             kernel, x_pad, n_arr, noise, eps=eps, method=method, l0=l0,
-            storage=storage,
+            storage=storage, block=block,
         )
     if backend == "tiled":
         from ..ops.tiled import tiled_cholesky_factor
@@ -152,6 +157,7 @@ def make_state(
     cap: Optional[int] = None,
     backend: str = "dense",
     storage: Optional[str] = None,
+    block: Optional[int] = None,
 ) -> tuple[GPState, Array]:
     """Build a trained state from live data (``GaussianProcess::new``,
     ``mod.rs:142-167``): residualize against the prior, build the padded
@@ -173,7 +179,8 @@ def make_state(
     x_pad, r_pad = pad_capacity(x, resid, cap)
     n_arr = jnp.asarray(n, dtype=jnp.int32)
     l_pad, ok = _build_factor(
-        kernel, x_pad, n_arr, noise, eps, method, backend, storage=storage
+        kernel, x_pad, n_arr, noise, eps, method, backend, storage=storage,
+        block=block,
     )
     state = GPState(
         x=x_pad,
@@ -187,6 +194,7 @@ def make_state(
         method=method,
         backend=backend,
         storage=storage,
+        block=block,
     )
     return state, ok
 
@@ -205,6 +213,7 @@ def rebuild_cholesky(state: GPState,
         state.backend,
         l0=state.l if reuse_buffer else None,
         storage=state.storage,
+        block=state.block,
     )
     return state.replace(l=l_pad), ok
 

@@ -222,7 +222,7 @@ def _streamed_unrolled_donate(
     with _precision_scope(precision):
         return _unrolled_body(
             kernel, x_pad, n, noise, eps, block, method, l0, fused,
-            solve_blocks,
+            solve_blocks, diag_blocks,
         )
 
 
@@ -319,7 +319,7 @@ def streamed_cholesky_factor(
     n,
     noise,
     eps: Optional[float] = None,
-    block: int = DEFAULT_PANEL,
+    block: Optional[int] = None,
     method: str = "gram",
     unroll: Optional[bool] = None,
     l0: Optional[Array] = None,
@@ -334,10 +334,14 @@ def streamed_cholesky_factor(
     Drop-in for ``train_covariance_padded`` + ``factor``; requires
     ``capacity % block == 0`` (callers pick block accordingly; any block
     that divides capacity works, smaller than 128 wastes the MXU).
-    ``block`` may instead be a per-panel width SCHEDULE (tuple/list
-    summing to capacity, unrolled path only): uneven panels let the
-    solve-heavy early panels run narrow and the late panels run wide —
-    a headline-op tuning knob (see BASELINE.md).
+    ``block=None`` (default) applies the TUNED policy
+    (``ops/partition.auto_panel_block``): block ~ cap/10 — the measured
+    headline optimum — with ``diag_blocks`` raised automatically when the
+    panel exceeds the compile-safe monolithic-diagonal width. ``block``
+    may instead be a per-panel width SCHEDULE (tuple/list summing to
+    capacity, unrolled path only): uneven panels let the solve-heavy
+    early panels run narrow and the late panels run wide — a headline-op
+    tuning knob (see BASELINE.md).
 
     ``unroll=None`` (default) picks the trace-time-unrolled FLOP-optimal
     program when the panel count permits (:data:`MAX_UNROLL_PANELS`),
@@ -401,10 +405,14 @@ def streamed_cholesky_factor(
     n=50k/B=5000 on a v5e, accuracy vs a float64 host factorization at
     n=8192) in BASELINE.md "Matmul precision on TPU".
     """
-    from .partition import pick_block
+    from .partition import auto_diag_blocks, auto_panel_block, pick_block
     from .pallas.panel_fused import fused_supported
 
     cap = x_pad.shape[0]
+    if block is None:
+        block = auto_panel_block(cap)
+        if diag_blocks == 1 and unroll is not False:
+            diag_blocks = auto_diag_blocks(block)
     if isinstance(block, (tuple, list)):
         # per-panel width SCHEDULE: only the trace-time-unrolled program
         # supports uneven panels (the fori body needs one static width)

@@ -83,6 +83,7 @@ def save_gp(gp, path: str) -> None:
         "method": state.method,
         "backend": state.backend,
         "storage": state.storage,
+        "block": state.block,
         "n": int(state.n),
         "dtype": str(state.x.dtype),
     }
@@ -132,5 +133,6 @@ def load_gp(path: str):
             method=header["method"],
             backend=header.get("backend", "dense"),
             storage=storage,
+            block=header.get("block"),
         )
     return GaussianProcess(state)

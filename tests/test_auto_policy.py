@@ -1,0 +1,140 @@
+"""The tuned panel-schedule policy and its public-API plumbing.
+
+Round-2 verdict items: the 0.670 s headline at n=50k required
+``block=5000`` reachable only through ``ops/streamed.py`` directly, and
+the fixed 1024 default silently fell back to the ~3x-FLOP ``fori_loop``
+program above cap = 65,536 (``MAX_UNROLL_PANELS`` cliff). The policy in
+``ops/partition.auto_panel_block`` (block ~ cap/10, auto ``diag_blocks``
+above the compile-safe monolithic-diagonal width) is now the default for
+every streamed factorization, plumbed from ``GaussianProcessBuilder``
+through ``GPState`` to ``streamed_cholesky_factor``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import friedrich_tpu.kernels as fk
+from friedrich_tpu import GaussianProcessBuilder
+from friedrich_tpu.ops.partition import (
+    MAX_MONOLITHIC_DIAG,
+    auto_diag_blocks,
+    auto_panel_block,
+)
+from friedrich_tpu.ops.streamed import MAX_UNROLL_PANELS, streamed_cholesky_factor
+
+RNG = np.random.default_rng(11)
+
+
+class TestPolicy:
+    def test_headline_size_matches_measured_optimum(self):
+        # the BASELINE.md round-2 sweep: B=5000 is the measured optimum at
+        # n=50k (0.670 s vs 0.909 s at B=2500)
+        assert auto_panel_block(50_000) == 5000
+        assert auto_diag_blocks(5000) == 1
+
+    @pytest.mark.parametrize(
+        "cap", [1024, 8192, 50_000, 65_536, 80_000, 100_000, 131_072]
+    )
+    def test_no_unroll_cliff(self, cap):
+        """The round-2 cliff: cap > 65,536 with the fixed 1024 block fell
+        back to the fori program. The policy must keep the panel count
+        unrolled-eligible at every practical capacity."""
+        block = auto_panel_block(cap)
+        assert cap % block == 0
+        assert cap // block <= MAX_UNROLL_PANELS
+        # and the diagonal factorization stays compile-safe
+        sub = auto_diag_blocks(block)
+        assert block % sub == 0
+        assert block // sub <= MAX_MONOLITHIC_DIAG
+
+    def test_diag_blocks_split_above_ceiling(self):
+        assert auto_diag_blocks(MAX_MONOLITHIC_DIAG) == 1
+        assert auto_diag_blocks(8000) == 2
+        assert auto_diag_blocks(10_000) == 2
+        assert auto_diag_blocks(20_000) == 4
+
+    def test_default_block_resolves_to_policy(self):
+        """``block=None`` must produce the SAME program as the explicit
+        policy block (bitwise-identical factor)."""
+        cap = 160
+        x = jnp.asarray(RNG.normal(size=(cap, 3)), jnp.float32)
+        kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+        noise = jnp.float32(0.4)
+        l_auto, ok_a = streamed_cholesky_factor(kern, x, 150, noise)
+        l_explicit, ok_e = streamed_cholesky_factor(
+            kern, x, 150, noise, block=auto_panel_block(cap)
+        )
+        assert bool(ok_a) and bool(ok_e)
+        np.testing.assert_array_equal(
+            np.asarray(l_auto), np.asarray(l_explicit)
+        )
+
+
+class TestApiPlumbing:
+    def _data(self, n=96, d=3):
+        x = RNG.normal(size=(n, d))
+        y = np.sin(x[:, 0]) + 0.1 * RNG.normal(size=n)
+        return x, y
+
+    def test_builder_panel_block_reaches_state(self):
+        x, y = self._data()
+        gp = (
+            GaussianProcessBuilder(x, y)
+            .set_backend("streamed")
+            .set_panel_block(16)
+            .train()
+        )
+        assert gp.state.block == 16
+        assert gp.state.backend == "streamed"
+
+    def test_builder_default_is_auto_policy(self):
+        x, y = self._data()
+        gp = GaussianProcessBuilder(x, y).set_backend("streamed").train()
+        assert gp.state.block is None  # None = auto policy at factor time
+
+    def test_builder_rejects_nonpositive_block(self):
+        from friedrich_tpu.utils.errors import ConfigError
+
+        x, y = self._data()
+        with pytest.raises(ConfigError):
+            GaussianProcessBuilder(x, y).set_panel_block(0)
+
+    def test_explicit_block_changes_the_program(self):
+        """The plumbed block must actually reach the factorizer: two
+        different explicit blocks give different panel rounding (f32),
+        and each matches the directly-invoked op."""
+        x, y = self._data(n=128)
+        state16 = (
+            GaussianProcessBuilder(x, y)
+            .set_dtype("float32")
+            .set_backend("streamed")
+            .set_panel_block(16)
+            .train()
+            .state
+        )
+        direct16, ok = streamed_cholesky_factor(
+            state16.kernel, state16.x, state16.n, state16.noise, block=16
+        )
+        assert bool(ok)
+        np.testing.assert_array_equal(
+            np.asarray(state16.l), np.asarray(direct16)
+        )
+
+    def test_block_survives_save_load_and_rebuild(self, tmp_path):
+        x, y = self._data()
+        gp = (
+            GaussianProcessBuilder(x, y)
+            .set_backend("streamed")
+            .set_panel_block(16)
+            .train()
+        )
+        path = str(tmp_path / "gp.npz")
+        gp.save(path)
+        from friedrich_tpu import GaussianProcess
+
+        gp2 = GaussianProcess.load(path)
+        assert gp2.state.block == 16
+        # a hyperparameter rebuild keeps the schedule
+        gp2.set_hyperparameters(noise=0.3)
+        assert gp2.state.block == 16

@@ -10,6 +10,7 @@ NumPy f64 oracles, on both dtypes and through the eps-substitute path.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -196,6 +197,71 @@ class TestSolveBlocks:
         assert bool(ok0) and bool(ok1)
         np.testing.assert_allclose(
             np.asarray(lsub), np.asarray(base), atol=5e-6
+        )
+
+    @staticmethod
+    def _donate_lowered_text(kern, x, n, noise, diag_blocks):
+        """Lower (without executing) the HOST-level donate-path program."""
+        from friedrich_tpu.ops.streamed import _streamed_unrolled_donate
+
+        leaves, treedef = jax.tree_util.tree_flatten(kern)
+        l0 = jnp.zeros((x.shape[0],) * 2, x.dtype)
+        lowered = _streamed_unrolled_donate.lower(
+            tuple(leaves), treedef, x, jnp.asarray(n, jnp.int32), noise,
+            None, 16, "gram", l0, fused=False, precision=None,
+            solve_blocks=1, diag_blocks=diag_blocks,
+        )
+        return lowered.as_text()
+
+    @pytest.mark.parametrize("sub", [2, 4])
+    def test_diag_blocks_reaches_donate_program(self, sub):
+        """Regression for the round-2 bug where the host-level donate path
+        silently dropped ``diag_blocks`` (ran the monolithic diagonal
+        factorization regardless): count the native cholesky ops in the
+        LOWERED donate-path program — with ``diag_blocks=sub`` each of the
+        6 panels must factor ``sub`` sub-blocks instead of 1."""
+        x = jnp.asarray(RNG.normal(size=(96, 3)), jnp.float32)
+        kern = fk.Matern2(ls=jnp.float32(1.1), ampl=jnp.float32(0.8))
+        noise = jnp.float32(0.4)
+        base_text = self._donate_lowered_text(kern, x, 80, noise, 1)
+        sub_text = self._donate_lowered_text(kern, x, 80, noise, sub)
+
+        def chol_ops(text):
+            low = text.lower()
+            return max(low.count("potrf"), low.count("cholesky"))
+
+        n_base, n_sub = chol_ops(base_text), chol_ops(sub_text)
+        num_panels = 96 // 16
+        assert n_base >= num_panels, (
+            "lowering did not expose the factorization ops"
+        )
+        # each of the 6 panels factors `sub` sub-blocks instead of 1
+        assert n_sub - n_base == (sub - 1) * num_panels, (
+            f"diag_blocks={sub} did not reach the donate-path program: "
+            f"{n_sub} cholesky ops vs {n_base} at diag_blocks=1"
+        )
+
+    def test_diag_blocks_host_and_jit_programs_agree(self):
+        """Host-level (donate) and traced (inline) calls must compute the
+        SAME math for the same arguments (before the round-2 fix the host
+        path silently ran diag_blocks=1). Bitwise identity across separate
+        XLA compilations is not guaranteed (fusion differs when inlined in
+        an outer jit), so this pins f32-rounding-level agreement; the
+        structural guarantee is the lowered-program op count above."""
+        x = jnp.asarray(RNG.normal(size=(96, 3)), jnp.float32)
+        kern = fk.Matern2(ls=jnp.float32(1.1), ampl=jnp.float32(0.8))
+        noise = jnp.float32(0.4)
+        l_host, ok_h = streamed_cholesky_factor(
+            kern, x, 80, noise, block=16, unroll=True, diag_blocks=4
+        )
+        l_jit, ok_j = jax.jit(
+            lambda xx, s: streamed_cholesky_factor(
+                kern, xx, 80, s, block=16, unroll=True, diag_blocks=4
+            )
+        )(x, noise)
+        assert bool(ok_h) and bool(ok_j)
+        np.testing.assert_allclose(
+            np.asarray(l_host), np.asarray(l_jit), atol=2e-6
         )
 
     def test_blocked_diag_cholesky_f64_oracle(self):
