@@ -316,10 +316,18 @@ class GaussianProcess:
         convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
         max_time: float = DEFAULT_MAX_TIME,
         fit_log=None,
+        gradient: str = "auto",
+        num_probes: int = 8,
+        seed: int = 0,
     ) -> None:
         """Refit prior/kernel/noise (``mod.rs:406-445``). Pass a
         :class:`~friedrich_tpu.utils.fitlog.FitLog` for structured
-        per-iteration records."""
+        per-iteration records.
+
+        ``gradient``: ``"exact"`` (reference parity path), ``"hutchinson"``
+        (streamed large-n path sized to run wherever the factor fits), or
+        ``"auto"`` (default: by capacity). See
+        ``models/optimizer.fit_kernel_noise``."""
         self._state = _fit_parameters(
             self._state,
             fit_prior=fit_prior,
@@ -328,6 +336,9 @@ class GaussianProcess:
             convergence_fraction=convergence_fraction,
             max_time=max_time,
             fit_log=fit_log,
+            gradient=gradient,
+            num_probes=num_probes,
+            seed=seed,
         )
 
     def set_hyperparameters(self, kernel=None, noise: Optional[float] = None,

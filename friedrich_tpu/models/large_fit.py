@@ -1,0 +1,197 @@
+"""Single-chip large-n hyperparameter fit (the north-star op at scale).
+
+The exact fit in ``models/optimizer.py`` replicates the reference
+optimizer (``gaussian_process/optimizer.rs``) including its O(n^3)
+explicit inverse and the (p, cap, cap) gradient-matrix stack
+(``optimizer.rs:32,169``; ``algebra/mod.rs:129-155``) — fine for parity
+sizes, but at n=50k f32 the inverse alone is a second 10 GB buffer and
+the gradient stack 30 GB: it cannot run where the streamed factorizer
+does. This module is the same ADAM-multiplicative fit with the two
+dense quantities replaced by factor-based solves, sized to run wherever
+the factor itself fits:
+
+    alpha           = K^-1 r            (blocked panel sweeps on L)
+    data-fit terms  = alpha^T dK alpha  (streamed dK matvec — EXACT)
+    tr(K^-1 dK_p)  ~= mean_z (K^-1 z)^T (dK_p z)   (Hutchinson)
+    tr(K^-1)       ~= mean_z z^T (K^-1 z)          (generic path only)
+
+with fixed Rademacher probes (deterministic fit). The estimator is the
+standard unbiased one (cf. GPyTorch, arXiv:1809.11165); the exact
+small-n path remains the parity reference, and the two agree within
+Monte-Carlo tolerance (tested).
+
+Iteration structure (per-iteration cost = one O(n^2 (1+s)) solve pass +
+one streamed-factorizer rebuild):
+
+- gradients + ADAM deltas are ONE jitted program reading the current
+  factor;
+- the convergence test runs BEFORE the update is applied: when every
+  ``|delta| <= convergence_fraction`` the fit stops WITHOUT the final
+  apply+rebuild — saving one O(n^3) factorization vs the reference,
+  which applies the final (sub-threshold, <= 5%-per-parameter) update
+  and rebuilds before noticing it converged (``optimizer.rs:256-270``).
+  Deliberate deviation, documented here; the parity-exact loop in
+  ``models/optimizer.py`` keeps the reference order.
+- the apply+rebuild step DONATES the previous factor's buffer
+  (``rebuild_cholesky(reuse_buffer=True)``), so old and new L never
+  coexist — the same buffer discipline as the headline factorizer.
+
+This is what ``GaussianProcess.fit_parameters`` dispatches to above the
+large-n threshold (see ``models/optimizer.py``); the distributed twin
+with mesh-sharded solves is ``parallel/large_scale.py``.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.errors import CholeskyError
+from .gp import GPState, rebuild_cholesky
+from .optimizer import ADAM_EPS, AdamState, _adam_delta
+
+Array = jnp.ndarray
+
+
+def make_probes(state: GPState, num_probes: int, seed: int) -> Array:
+    """Fixed-seed Rademacher probes, zeroed on dead rows — the estimator
+    then sees only the live block (the padded identity contributes
+    nothing, unlike the exact path's explicit ``cap - n`` correction,
+    ``models/optimizer.py::_generic_step``)."""
+    cap = state.capacity
+    key = jax.random.PRNGKey(seed)
+    probes = jnp.sign(
+        jax.random.normal(key, (cap, num_probes), dtype=state.resid.dtype)
+    )
+    live = (jnp.arange(cap) < state.n)[:, None]
+    return jnp.where(live, probes, 0.0)
+
+
+def _solves(state: GPState, rhs: Array) -> Array:
+    """``K^-1 rhs`` via the blocked panel sweeps (reads bf16 factors
+    natively; precomputes the per-iteration panel inverses so both sweeps
+    are pure GEMM)."""
+    from ..ops.blocked_solve import blocked_cho_solve, panel_inverses
+
+    diag_inv = None
+    if state.l.dtype in (jnp.float32, jnp.bfloat16):
+        diag_inv = panel_inverses(state.l)
+    return blocked_cho_solve(state.l, rhs, diag_inv=diag_inv)
+
+
+@partial(jax.jit, static_argnames=("scalable",))
+def _grad_step_large(state: GPState, adam: AdamState, probes: Array, i,
+                     convergence_fraction, scalable: bool):
+    """Gradient terms + ADAM deltas from the CURRENT factor — no rebuild
+    (the host applies the update and rebuilds only while progressing).
+
+    Returns ``(adam', kernel', noise', progress, info)`` where the primed
+    values already include this iteration's multiplicative update
+    (``optimizer.rs:113-122``) and, on the scaled path, the closed-form
+    rescale (``optimizer.rs:174,262-263``)."""
+    from ..ops.streamed_matvec import streamed_grad_matvec
+
+    with jax.named_scope("fit_large/solves"):
+        rhs = jnp.concatenate([state.resid[:, None], probes], axis=1)
+        sol = _solves(state, rhs)
+        alpha, kinv_z = sol[:, 0], sol[:, 1:]
+    with jax.named_scope("fit_large/grad_matvec"):
+        v = jnp.concatenate([alpha[:, None], probes], axis=1)
+        dk_v = streamed_grad_matvec(
+            state.kernel, state.x, state.n, v, method=state.method
+        )  # (p, cap, 1 + s)
+        data_fit = dk_v[:, :, 0] @ alpha  # alpha^T dK_p alpha — exact
+        complexity = jnp.mean(
+            jnp.einsum("is,pis->ps", kinv_z, dk_v[:, :, 1:]), axis=1
+        )  # Hutchinson tr(K^-1 dK_p)
+    with jax.named_scope("fit_large/adam"):
+        if scalable:
+            scale = (state.resid @ alpha) / state.n.astype(alpha.dtype)
+            grads = (data_fit / scale - complexity) / 2.0  # optimizer.rs:180-192
+            adam, delta = _adam_delta(adam, grads, i)
+            kernel = state.kernel.with_params(adam.params)
+            kernel = kernel.rescale(scale)  # optimizer.rs:262
+            noise = state.noise * scale  # optimizer.rs:263 (NOT sqrt)
+            adam = adam.replace(params=kernel.get_params())
+        else:
+            grads_kernel = (data_fit - complexity) / 2.0
+            # Hutchinson tr(K^-1) over the live block (probes are zero on
+            # dead rows); log-space noise update (optimizer.rs:98-110)
+            tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
+            noise_grad = state.noise * (alpha @ alpha - tr_kinv) * state.noise
+            grads = jnp.concatenate([grads_kernel, noise_grad[None]])
+            adam, delta = _adam_delta(adam, grads, i)
+            kernel = state.kernel.with_params(adam.params[:-1])
+            noise = jnp.exp(adam.params[-1])
+            scale = jnp.ones(())
+        max_delta = jnp.max(jnp.abs(delta))
+        progress = max_delta > convergence_fraction
+    info = {"max_delta": max_delta, "scale": scale}
+    return adam, kernel, noise, progress, info
+
+
+def fit_kernel_noise_large(
+    state: GPState,
+    max_iter: int,
+    convergence_fraction: float,
+    max_time: float,
+    num_probes: int = 8,
+    seed: int = 0,
+    fit_log=None,
+) -> GPState:
+    """Run the large-n ADAM fit until convergence / max_iter / max_time.
+
+    Dispatches on ``kernel.is_scalable`` like ``fit_parameters``
+    (``mod.rs:434-444``). The state's factor buffer is DONATED across
+    iterations; on a failed rebuild the state is unrecoverable and a
+    :class:`CholeskyError` is raised (the reference panics here,
+    ``algebra/mod.rs:90``).
+    """
+    scalable = state.kernel.is_scalable
+    kparams = jnp.where(state.kernel.get_params() == 0.0, ADAM_EPS,
+                        state.kernel.get_params())
+    if scalable:
+        params = kparams
+    else:
+        params = jnp.concatenate([kparams, jnp.log(state.noise)[None]])
+    adam = AdamState(
+        params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
+    )
+    probes = make_probes(state, num_probes, seed)
+
+    conv = jnp.asarray(convergence_fraction, dtype=params.dtype)
+    t0 = time.monotonic()
+    for i in range(1, max_iter + 1):
+        adam, kernel, noise, progress, info = _grad_step_large(
+            state, adam, probes, jnp.asarray(i), conv, scalable
+        )
+        if not bool(progress):
+            # converged: every |delta| <= convergence_fraction — stop
+            # WITHOUT applying the sub-threshold update (saves the final
+            # O(n^3) rebuild; see module docstring for the deviation note)
+            break
+        state = state.replace(kernel=kernel, noise=noise)
+        state, ok = rebuild_cholesky(state, reuse_buffer=True)
+        if not bool(ok):
+            raise CholeskyError(
+                "Cholesky decomposition failed during hyperparameter "
+                "fitting; consider setting `cholesky_epsilon`."
+            )
+        if fit_log is not None:
+            from .gp import log_marginal_likelihood
+
+            fit_log.log(
+                iteration=i,
+                params=[float(v) for v in adam.params],
+                noise=float(state.noise),
+                scale=float(info["scale"]) if scalable else None,
+                max_delta=float(info["max_delta"]),
+                likelihood=float(log_marginal_likelihood(state)),
+            )
+        if time.monotonic() - t0 > max_time:
+            break
+    return state

@@ -173,12 +173,23 @@ def _init_params(vec: Array) -> Array:
     return jnp.where(vec == 0.0, ADAM_EPS, vec)
 
 
+#: ``gradient="auto"`` switches from the exact dense gradient terms to
+#: the streamed/Hutchinson large-n fit above this capacity: the exact
+#: path materializes K^-1 (cap^2) plus a (p, cap, cap) gradient stack
+#: (``optimizer.rs:32,169``; ``algebra/mod.rs:129-155``) — 40 GB at
+#: n=50k f32 where the streamed fit needs only the factor.
+LARGE_FIT_THRESHOLD = 8192
+
+
 def fit_kernel_noise(
     state: GPState,
     max_iter: int = DEFAULT_MAX_ITER,
     convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
     max_time: float = DEFAULT_MAX_TIME,
     fit_log=None,
+    gradient: str = "auto",
+    num_probes: int = 8,
+    seed: int = 0,
 ) -> GPState:
     """Run the ADAM fit until convergence / max_iter / max_time.
 
@@ -186,7 +197,27 @@ def fit_kernel_noise(
     (``mod.rs:434-444``). Pass a :class:`~friedrich_tpu.utils.fitlog.FitLog`
     as ``fit_log`` for structured per-iteration records (the observability
     the reference left as commented-out prints, ``optimizer.rs:145-148``).
+
+    ``gradient``: ``"exact"`` (the reference's dense gradient terms —
+    parity path, O(cap^2) memory x(p+1)), ``"hutchinson"`` (streamed
+    factor-based terms sized for large n — ``models/large_fit.py``), or
+    ``"auto"`` (default: exact below :data:`LARGE_FIT_THRESHOLD`,
+    streamed above). ``num_probes``/``seed`` configure the Hutchinson
+    trace estimator (deterministic for a fixed seed).
     """
+    if gradient not in ("auto", "exact", "hutchinson"):
+        raise ValueError(f"unknown gradient method {gradient!r}")
+    if gradient == "auto":
+        gradient = (
+            "hutchinson" if state.capacity > LARGE_FIT_THRESHOLD else "exact"
+        )
+    if gradient == "hutchinson":
+        from .large_fit import fit_kernel_noise_large
+
+        return fit_kernel_noise_large(
+            state, max_iter, convergence_fraction, max_time,
+            num_probes=num_probes, seed=seed, fit_log=fit_log,
+        )
     scalable = state.kernel.is_scalable
     kparams = _init_params(state.kernel.get_params())
     if scalable:
@@ -242,10 +273,15 @@ def fit_parameters(
     convergence_fraction: float = DEFAULT_CONVERGENCE_FRACTION,
     max_time: float = DEFAULT_MAX_TIME,
     fit_log=None,
+    gradient: str = "auto",
+    num_probes: int = 8,
+    seed: int = 0,
 ) -> GPState:
     """Full fit dispatch, mirroring ``fit_parameters`` (``mod.rs:406-445``):
     optionally refit the prior (rebuilding the factor if the kernel is not
-    also being fitted), then run the gradient fit."""
+    also being fitted), then run the gradient fit (``gradient`` selects the
+    exact parity path or the streamed large-n path — see
+    :func:`fit_kernel_noise`)."""
     if fit_prior:
         state = fit_prior_padded(state)
         if not fit_kernel:
@@ -259,7 +295,8 @@ def fit_parameters(
                 raise CholeskyError()
     if fit_kernel:
         state = fit_kernel_noise(
-            state, max_iter, convergence_fraction, max_time, fit_log=fit_log
+            state, max_iter, convergence_fraction, max_time, fit_log=fit_log,
+            gradient=gradient, num_probes=num_probes, seed=seed,
         )
     return state
 

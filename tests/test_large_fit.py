@@ -1,0 +1,285 @@
+"""Single-chip large-n hyperparameter fit (``models/large_fit.py``).
+
+The streamed/Hutchinson fit replaces the exact path's dense K^-1 and
+(p, cap, cap) gradient stack (``optimizer.rs:32,169``;
+``algebra/mod.rs:129-155``) with factor-based solves; these tests pin it
+against the exact parity optimizer:
+
+- EXACT equivalence when the probe set is the (scaled) identity basis —
+  the Hutchinson estimator then computes the true traces, so one step of
+  the large fit must reproduce one step of the exact fit to rounding;
+- Monte-Carlo agreement of the full fitted hyperparameters at moderate n;
+- the auto dispatch by capacity in ``fit_kernel_noise``;
+- the public-API plumbing (``GaussianProcess.fit_parameters(gradient=)``)
+  including padded capacities and bf16 factor storage.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import friedrich_tpu as ft
+import friedrich_tpu.kernels as fk
+from friedrich_tpu.models import gp as core
+from friedrich_tpu.models.large_fit import (
+    _grad_step_large,
+    fit_kernel_noise_large,
+    make_probes,
+)
+from friedrich_tpu.models.optimizer import (
+    AdamState,
+    LARGE_FIT_THRESHOLD,
+    _generic_step,
+    _scaled_step,
+    fit_kernel_noise,
+)
+from friedrich_tpu.priors import ConstantPrior
+
+RNG = np.random.default_rng(42)
+
+
+def _make_state(n=200, d=3, kernel=None, noise=0.3, cap=None, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d))
+    y = np.sin(x[:, 0]) + 0.5 * np.cos(x[:, 1]) + 0.1 * rng.normal(size=n)
+    kernel = kernel or fk.SquaredExp(ls=1.0, ampl=1.0)
+    state, ok = core.make_state(
+        kernel, ConstantPrior(0.0), noise, jnp.asarray(x), jnp.asarray(y),
+        cap=cap,
+    )
+    assert bool(ok)
+    return state
+
+
+def _adam_for(state, scalable):
+    params = state.kernel.get_params()
+    if not scalable:
+        params = jnp.concatenate([params, jnp.log(state.noise)[None]])
+    return AdamState(
+        params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
+    )
+
+
+class TestExactEquivalence:
+    """With probes = sqrt(cap) * I the Hutchinson traces are EXACT:
+    mean_s (K^-1 z_s)^T (dK z_s) = sum_s (K^-1)_s . (dK)_s = tr(K^-1 dK).
+    One large-fit step must then match one exact-optimizer step."""
+
+    def _identity_probes(self, state):
+        cap = state.capacity
+        return jnp.eye(cap, dtype=state.resid.dtype) * np.sqrt(cap)
+
+    @pytest.mark.parametrize("scalable", [True, False])
+    def test_one_step_matches_exact(self, scalable):
+        kernel = (
+            fk.SquaredExp(ls=0.9, ampl=1.2)
+            if scalable
+            else fk.RationalQuadratic(alpha=1.1, ls=0.8)
+        )
+        state = _make_state(n=64, kernel=kernel)
+        adam = _adam_for(state, scalable)
+        conv = jnp.asarray(0.05, state.resid.dtype)
+
+        adam_l, kernel_l, noise_l, _, info_l = _grad_step_large(
+            state, adam, self._identity_probes(state), jnp.asarray(1), conv,
+            scalable,
+        )
+        exact_step = _scaled_step if scalable else _generic_step
+        state_e, adam_e, _, ok, info_e = exact_step(
+            state, adam, jnp.asarray(1), conv
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(adam_l.params), np.asarray(adam_e.params), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            float(noise_l), float(state_e.noise), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            float(info_l["max_delta"]), float(info_e["max_delta"]), rtol=1e-8
+        )
+
+    def test_exact_equivalence_with_padding(self):
+        """Dead rows: probes are zeroed there, so the estimator sees only
+        the live block — equivalent to the exact path's explicit
+        (cap - n) trace correction."""
+        state = _make_state(n=48, cap=64)
+        adam = _adam_for(state, True)
+        conv = jnp.asarray(0.05, state.resid.dtype)
+        live = (jnp.arange(64) < state.n)[:, None]
+        probes = jnp.where(
+            live, jnp.eye(64, dtype=state.resid.dtype) * np.sqrt(64), 0.0
+        )
+        adam_l, _, noise_l, _, _ = _grad_step_large(
+            state, adam, probes, jnp.asarray(1), conv, True
+        )
+        state_e, adam_e, _, ok, _ = _scaled_step(
+            state, adam, jnp.asarray(1), conv
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(adam_l.params), np.asarray(adam_e.params), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            float(noise_l), float(state_e.noise), rtol=1e-8
+        )
+
+
+class TestMonteCarloAgreement:
+    def test_scaled_fit_agrees_with_exact(self):
+        state = _make_state(n=300)
+        exact = fit_kernel_noise(
+            state, max_iter=30, convergence_fraction=0.05, max_time=300,
+            gradient="exact",
+        )
+        large = fit_kernel_noise_large(
+            state, max_iter=30, convergence_fraction=0.05, max_time=300,
+            num_probes=32, seed=0,
+        )
+        # trajectories compound the Monte-Carlo trace error, so endpoint
+        # hyperparameters agree loosely ...
+        np.testing.assert_allclose(
+            np.asarray(large.kernel.get_params()),
+            np.asarray(exact.kernel.get_params()),
+            rtol=0.25,
+        )
+        np.testing.assert_allclose(
+            float(large.noise), float(exact.noise), rtol=0.25
+        )
+        # ... while the fitted MODELS agree where it matters: predictions
+        xq = jnp.asarray(np.random.default_rng(9).normal(size=(64, 3)))
+        m_exact = core.predict_mean(exact, xq)
+        m_large = core.predict_mean(large, xq)
+        np.testing.assert_allclose(
+            np.asarray(m_large), np.asarray(m_exact), atol=0.05
+        )
+
+    def test_generic_fit_agrees_with_exact(self):
+        kernel = fk.RationalQuadratic(alpha=1.0, ls=1.0)
+        state = _make_state(n=256, kernel=kernel)
+        exact = fit_kernel_noise(
+            state, max_iter=20, convergence_fraction=0.05, max_time=300,
+            gradient="exact",
+        )
+        large = fit_kernel_noise_large(
+            state, max_iter=20, convergence_fraction=0.05, max_time=300,
+            num_probes=32, seed=1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(large.kernel.get_params()),
+            np.asarray(exact.kernel.get_params()),
+            rtol=0.2,
+        )
+        np.testing.assert_allclose(
+            float(large.noise), float(exact.noise), rtol=0.2
+        )
+
+    def test_fit_is_deterministic_for_fixed_seed(self):
+        state = _make_state(n=128)
+        a = fit_kernel_noise_large(
+            state, max_iter=5, convergence_fraction=0.0, max_time=300, seed=3
+        )
+        b = fit_kernel_noise_large(
+            state, max_iter=5, convergence_fraction=0.0, max_time=300, seed=3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.kernel.get_params()),
+            np.asarray(b.kernel.get_params()),
+        )
+
+    def test_fit_improves_lml(self):
+        state = _make_state(n=256, kernel=fk.SquaredExp(ls=3.0, ampl=0.2))
+        before = float(core.log_marginal_likelihood(state))
+        fitted = fit_kernel_noise_large(
+            state, max_iter=40, convergence_fraction=0.05, max_time=300
+        )
+        after = float(core.log_marginal_likelihood(fitted))
+        assert after > before
+
+
+class TestDispatch:
+    def test_auto_picks_large_above_threshold(self, monkeypatch):
+        calls = {}
+        import friedrich_tpu.models.large_fit as lf
+
+        real = lf.fit_kernel_noise_large
+
+        def spy(state, *a, **k):
+            calls["large"] = True
+            return real(state, *a, **k)
+
+        monkeypatch.setattr(lf, "fit_kernel_noise_large", spy)
+        state = _make_state(n=64, cap=LARGE_FIT_THRESHOLD + 64)
+        fit_kernel_noise(
+            state, max_iter=1, convergence_fraction=0.05, max_time=300
+        )
+        assert calls.get("large")
+
+    def test_auto_picks_exact_below_threshold(self, monkeypatch):
+        import friedrich_tpu.models.large_fit as lf
+
+        def boom(*a, **k):  # must not be called
+            raise AssertionError("large fit dispatched below threshold")
+
+        monkeypatch.setattr(lf, "fit_kernel_noise_large", boom)
+        state = _make_state(n=64)
+        fit_kernel_noise(
+            state, max_iter=1, convergence_fraction=0.05, max_time=300
+        )
+
+    def test_unknown_gradient_rejected(self):
+        state = _make_state(n=32)
+        with pytest.raises(ValueError, match="gradient"):
+            fit_kernel_noise(state, gradient="bogus")
+
+
+class TestPublicApi:
+    def test_fit_parameters_gradient_kwarg(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(150, 3))
+        y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=150)
+        gp = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_kernel(fk.SquaredExp(ls=2.0, ampl=0.5))
+            .set_noise(0.2)
+            .train()
+        )
+        before = gp.log_marginal_likelihood()
+        gp.fit_parameters(
+            fit_prior=True, fit_kernel=True, max_iter=25,
+            gradient="hutchinson", num_probes=32,
+        )
+        assert gp.log_marginal_likelihood() > before
+        # and predictions stay sane
+        mean = gp.predict(x[:5])
+        assert np.all(np.isfinite(np.asarray(mean)))
+
+    def test_fit_hutchinson_streamed_bf16(self):
+        """The large fit must run against a bf16-STORED streamed factor
+        (reads the factor natively in the sweeps, donates the rebuild)."""
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(200, 3)).astype(np.float32)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.normal(size=200)).astype(np.float32)
+        gp = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_kernel(fk.SquaredExp(ls=2.0, ampl=0.5))
+            .set_noise(0.5)
+            .set_dtype("float32")
+            .set_backend("streamed")
+            .set_factor_storage("bf16")
+            .train()
+        )
+        gp.fit_parameters(
+            fit_prior=False, fit_kernel=True, max_iter=5,
+            gradient="hutchinson", num_probes=8,
+        )
+        assert gp.state.l.dtype == jnp.bfloat16
+        assert np.isfinite(gp.log_marginal_likelihood())
+
+
+def test_make_probes_dead_rows_zero():
+    state = _make_state(n=40, cap=64)
+    probes = make_probes(state, 4, 0)
+    assert probes.shape == (64, 4)
+    np.testing.assert_array_equal(np.asarray(probes[40:]), 0.0)
+    assert set(np.unique(np.asarray(probes[:40]))) <= {-1.0, 1.0}
