@@ -16,8 +16,10 @@ from .sharded import (
     make_sharded_train_step,
     shard_state,
 )
+from .large_scale import LargeScaleGP
 
 __all__ = [
+    "LargeScaleGP",
     "CHAIN_AXIS",
     "COL_AXIS",
     "ROW_AXIS",

@@ -51,6 +51,12 @@ class ZeroPrior(PriorBase):
     def mean(self, x: Array) -> Array:
         return jnp.zeros((x.shape[0],), dtype=x.dtype)
 
+    @classmethod
+    def default(cls, input_dim: int) -> "ZeroPrior":
+        """``Prior::default`` (``prior.rs:46-49``) — parameterless."""
+        del input_dim
+        return cls()
+
 
 @struct.dataclass
 class ConstantPrior(PriorBase):

@@ -144,6 +144,93 @@ def exp_factor(args):
              error=str(e)[:300])
 
 
+def exp_fit(args):
+    """End-to-end hyperparameter FIT through the public API — the
+    north-star op (``builder.rs:189-214`` -> ``optimizer.rs:211-283``):
+    heuristic init + build/factor + prior refit + scaled ADAM to
+    convergence, then a predict batch. Reports the first (compile-heavy)
+    and second (execution-only) full train() wall-clocks, the iteration
+    count, and predict throughput."""
+    import friedrich_tpu as ft
+    import friedrich_tpu.kernels as fk
+    from friedrich_tpu.utils.fitlog import FitLog
+
+    rng = np.random.default_rng(0)
+    n, d, m = args.n, args.d, args.m
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = (
+        np.sin(x[:, 0]) + 0.5 * np.cos(x[:, 1])
+        + args.noise * rng.normal(size=n)
+    ).astype(np.float32)
+    xq = rng.normal(size=(m, d)).astype(np.float32)
+
+    def build():
+        b = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_noise(args.noise)
+            .set_dtype("float32")
+            .set_backend(args.backend if args.backend != "dense" else "auto")
+            .fit_kernel()
+            .fit_prior()
+            .set_fit_parameters(args.max_iter, 0.05)
+        )
+        if args.storage != "none":
+            b = b.set_factor_storage(args.storage)
+        return b.train()
+
+    try:
+        t0 = time.perf_counter()
+        gp = build()
+        t_first = time.perf_counter() - t0
+        mean, var = gp.predict_in_batches(xq, batch_size=min(m, 4096))
+        jax.block_until_ready((mean, var))
+        t0 = time.perf_counter()
+        mean, var = gp.predict_in_batches(xq, batch_size=min(m, 4096))
+        jax.block_until_ready((mean, var))
+        t_predict = time.perf_counter() - t0
+
+        # iteration count via an (untimed) logged refit from the same init
+        log = FitLog()
+        b2 = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_noise(args.noise)
+            .set_dtype("float32")
+            .set_backend(args.backend if args.backend != "dense" else "auto")
+        )
+        if args.storage != "none":
+            b2 = b2.set_factor_storage(args.storage)
+        kern = fk.Gaussian().heuristic_fit(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+        )
+        gp2 = b2.set_kernel(kern).train()
+        gp2.fit_parameters(
+            fit_prior=True, fit_kernel=True, max_iter=args.max_iter,
+            convergence_fraction=0.05, fit_log=log,
+        )
+        del gp2
+        iters = len(log.records)
+
+        # second full train: execution-only (programs compiled above)
+        t0 = time.perf_counter()
+        gp3 = build()
+        t_second = time.perf_counter() - t0
+        emit(
+            exp="fit", backend=args.backend, n=n, d=d,
+            storage=args.storage, max_iter=args.max_iter,
+            first_train_s=round(t_first, 3),
+            train_s=round(t_second, 3),
+            fit_iterations=iters,
+            predict_m=m, predict_s=round(t_predict, 4),
+            predict_pts_per_s=round(m / t_predict),
+            noise=float(gp3.noise),
+            kernel_params=[float(v) for v in gp3.kernel.get_params()],
+            lml=float(gp3.log_marginal_likelihood()),
+            budget_s=round(60.0 * (n / 100_000) ** 3, 2),
+        )
+    except Exception as e:
+        emit(exp="fit", backend=args.backend, n=n, error=str(e)[:300])
+
+
 def exp_cov(args):
     """Covariance build alone: XLA fused vs the Pallas tile kernel."""
     dtype = jnp.float32
@@ -486,8 +573,8 @@ def exp_gemm(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("exps", nargs="+",
-                   choices=["factor", "cov", "predict", "nuts", "gemm",
-                            "diag", "precacc", "solveblock", "all"])
+                   choices=["factor", "fit", "cov", "predict", "nuts",
+                            "gemm", "diag", "precacc", "solveblock", "all"])
     p.add_argument("--backend", default="hybrid",
                    choices=["dense", "streamed", "tiled", "hybrid"])
     p.add_argument("--n", type=int, default=50000)
@@ -515,6 +602,9 @@ def main(argv=None):
                    help="observation-noise std for factor/cov/predict "
                         "experiments (bf16 STORAGE needs "
                         "noise^2 >~ n*2^-15 — BASELINE.md envelope)")
+    p.add_argument("--max-iter", type=int, default=100,
+                   help="ADAM iteration cap for the fit experiment "
+                        "(reference default 100, builder.rs:76)")
     p.add_argument("--gp-n", type=int, default=1024)
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
     p.add_argument("--warmup", type=int, default=100)
@@ -529,7 +619,8 @@ def main(argv=None):
     if "all" in exps:
         exps = ["factor", "cov", "predict", "nuts"]
     for e in exps:
-        {"factor": exp_factor, "cov": exp_cov, "predict": exp_predict,
+        {"factor": exp_factor, "fit": exp_fit, "cov": exp_cov,
+         "predict": exp_predict,
          "nuts": exp_nuts, "gemm": exp_gemm, "diag": exp_diag,
          "precacc": exp_precacc,
          "solveblock": exp_solveblock}[e](args)
