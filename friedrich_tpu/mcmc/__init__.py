@@ -7,7 +7,12 @@ from .distributed_logprob import (
     sample_hyperparameters_distributed,
 )
 from .hmc import HMCResult, sample_hmc
-from .logprob import initial_signs, initial_theta, make_hyperparam_logprob
+from .logprob import (
+    initial_signs,
+    initial_theta,
+    make_hyperparam_logprob,
+    make_streamed_hyperparam_logprob,
+)
 from .nuts import NUTSResult, sample_nuts
 from .predictive import predictive_mixture, sample_predictive
 
@@ -19,15 +24,21 @@ def sample_hyperparameters(
     num_samples: int = 500,
     num_chains: int = 4,
     sampler: str = "nuts",
+    backend: str = "auto",
     **kwargs,
 ):
     """Posterior over log-hyperparameters of a trained GP.
 
     Accepts a ``GaussianProcess`` or a raw ``GPState``; ``sampler`` is
     "nuts" (default) or "hmc". Samples are log([kernel params..., noise]).
+    ``backend`` selects the density's inner factorization ("dense",
+    "streamed", or "auto" by capacity — see
+    :func:`make_hyperparam_logprob`).
     """
     state = getattr(gp_or_state, "state", gp_or_state)
-    logp = make_hyperparam_logprob(state, signs=initial_signs(state))
+    logp = make_hyperparam_logprob(
+        state, signs=initial_signs(state), backend=backend
+    )
     theta0 = initial_theta(state)
     fn = sample_nuts if sampler == "nuts" else sample_hmc
     return fn(
@@ -52,6 +63,7 @@ __all__ = [
     "initial_theta",
     "initial_signs",
     "make_hyperparam_logprob",
+    "make_streamed_hyperparam_logprob",
     "make_distributed_hyperparam_logprob",
     "sample_hyperparameters",
     "sample_hyperparameters_distributed",

@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..models.gp import GPState
@@ -36,11 +37,22 @@ Array = jnp.ndarray
 LOG_2PI = math.log(2.0 * math.pi)
 
 
+#: ``backend="auto"`` switches the density's inner factorization from the
+#: dense build (autodiff-exact gradients) to the streamed one (custom-VJP
+#: analytic gradients) above this capacity: the dense VJP checkpoints the
+#: (cap, cap) covariance per chain per leapfrog step, which multiplies out
+#: of HBM with vmapped chains at realistic n.
+STREAMED_LOGPROB_THRESHOLD = 4096
+
+
 def make_hyperparam_logprob(
     state: GPState,
     prior_mu: float = 0.0,
     prior_sigma: float = 5.0,
     signs: Optional[Array] = None,
+    backend: str = "auto",
+    num_probes: int = 16,
+    probe_seed: int = 0,
 ) -> Callable[[Array], Array]:
     """Return ``logp(theta)`` over log-magnitude hyperparameters.
 
@@ -48,7 +60,28 @@ def make_hyperparam_logprob(
     (same length) fixes each raw parameter's sign; default all-positive.
     The GP prior mean (state.prior) is held fixed; residuals are the
     state's.
+
+    ``backend``: ``"dense"`` (monolithic build+factor, autodiff-exact
+    gradient), ``"streamed"`` (fused streamed factorizer + blocked
+    sweeps inside the density, analytic custom-VJP gradient with
+    fixed-probe Hutchinson traces — see
+    :func:`make_streamed_hyperparam_logprob`), or ``"auto"`` (default:
+    by capacity, threshold :data:`STREAMED_LOGPROB_THRESHOLD`).
+    ``num_probes``/``probe_seed`` configure the streamed gradient.
     """
+    if backend not in ("auto", "dense", "streamed"):
+        raise ValueError(f"unknown logprob backend {backend!r}")
+    if backend == "auto":
+        backend = (
+            "streamed"
+            if state.capacity > STREAMED_LOGPROB_THRESHOLD
+            else "dense"
+        )
+    if backend == "streamed":
+        return make_streamed_hyperparam_logprob(
+            state, prior_mu=prior_mu, prior_sigma=prior_sigma, signs=signs,
+            num_probes=num_probes, probe_seed=probe_seed,
+        )
     # capture only what the closure reads — never the (cap, cap) factor
     x_pad = state.x
     resid = state.resid
@@ -89,6 +122,124 @@ def make_hyperparam_logprob(
         # NaN-safe: a failed factorization (non-PSD draw) gets -inf density
         return jnp.where(jnp.isfinite(lml), lml + hyper, -jnp.inf)
 
+    return logp
+
+
+def make_streamed_hyperparam_logprob(
+    state: GPState,
+    prior_mu: float = 0.0,
+    prior_sigma: float = 5.0,
+    signs: Optional[Array] = None,
+    block: Optional[int] = None,
+    num_probes: int = 16,
+    probe_seed: int = 0,
+) -> Callable[[Array], Array]:
+    """``logp(theta)`` whose inner factorization is the single-device
+    STREAMED build+factor (K never materialized) with blocked panel
+    sweeps — the realistic-n NUTS density for one chip (n = 4k-50k),
+    vmappable over chains.
+
+    The VALUE is the exact log posterior (data fit from the factor
+    sweeps, log-det from the factor diagonal). The GRADIENT is a
+    ``jax.custom_vjp`` on the analytic LML gradient (the
+    ``optimizer.rs:24-60`` math):
+
+        d LML / d p = 1/2 alpha^T (dK/dp) alpha - 1/2 tr(K^-1 dK/dp)
+
+    with exact data-fit terms (streamed dK matvecs) and FIXED-SEED
+    Hutchinson trace terms — the same scheme as the mesh version
+    (``mcmc/distributed_logprob.py``), single-device. Fixed probes keep
+    the gradient deterministic in theta, so leapfrog stays reversible
+    and the MH correction (computed with the EXACT energy) preserves the
+    stationary distribution; probe noise perturbs only proposal quality.
+    Autodiff through the unrolled panel program would instead checkpoint
+    every panel strip per leapfrog step (cap^2 extra per chain).
+    """
+    from ..ops.blocked_solve import (
+        blocked_cho_solve,
+        blocked_solve_lower,
+        blocked_solve_lower_t,
+        panel_inverses,
+    )
+    from ..ops.streamed import streamed_cholesky_factor
+    from ..ops.streamed_matvec import streamed_grad_matvec
+
+    x_pad = state.x
+    resid = state.resid
+    n_live = state.n
+    cap = state.capacity
+    method = state.method
+    eps = state.eps
+    kernel_template = state.kernel
+    nb = kernel_template.nb_params
+    dtype = x_pad.dtype
+    if signs is None:
+        sign_vec = jnp.ones((nb + 1,), dtype=dtype)
+    else:
+        sign_vec = jnp.asarray(signs, dtype=dtype)
+
+    key = jax.random.PRNGKey(probe_seed)
+    probes = jnp.sign(jax.random.normal(key, (cap, num_probes), dtype=dtype))
+    live_col = (jnp.arange(cap) < n_live)[:, None]
+    probes = jnp.where(live_col, probes, 0.0)
+
+    def _rebuild(theta):
+        raw = sign_vec * jnp.exp(theta)
+        kernel = kernel_template.with_params(raw[:nb])
+        noise = raw[nb]
+        return raw, kernel, noise
+
+    def _forward(theta):
+        raw, kernel, noise = _rebuild(theta)
+        l_pad, ok = streamed_cholesky_factor(
+            kernel, x_pad, n_live, noise, eps=eps, block=block, method=method
+        )
+        diag_inv = panel_inverses(l_pad) if dtype == jnp.float32 else None
+        ol = blocked_solve_lower(l_pad, resid[:, None], diag_inv=diag_inv)[:, 0]
+        alpha = blocked_solve_lower_t(l_pad, ol[:, None], diag_inv=diag_inv)[:, 0]
+        kinv_z = blocked_cho_solve(l_pad, probes, diag_inv=diag_inv)
+        data_fit = jnp.sum(ol * ol)
+        live = jnp.arange(cap) < n_live
+        logdet = 2.0 * jnp.sum(
+            jnp.where(live, jnp.log(jnp.diagonal(l_pad)), 0.0)
+        )
+        n_f = n_live.astype(dtype)
+        lml = -(data_fit + logdet + n_f * LOG_2PI) / 2.0
+        hyper = -0.5 * jnp.sum(((theta - prior_mu) / prior_sigma) ** 2)
+        val = jnp.where(
+            ok & jnp.isfinite(lml), lml + hyper, -jnp.asarray(jnp.inf, dtype)
+        )
+        return val, alpha, kinv_z
+
+    @jax.custom_vjp
+    def logp(theta: Array) -> Array:
+        val, _, _ = _forward(theta)
+        return val
+
+    def logp_fwd(theta):
+        val, alpha, kinv_z = _forward(theta)
+        return val, (theta, alpha, kinv_z)
+
+    def logp_bwd(res, g):
+        theta, alpha, kinv_z = res
+        raw, kernel, noise = _rebuild(theta)
+        dk_alpha = streamed_grad_matvec(
+            kernel, x_pad, n_live, alpha, method=method
+        )
+        data_terms = dk_alpha @ alpha
+        dk_z = streamed_grad_matvec(
+            kernel, x_pad, n_live, probes, method=method
+        )
+        trace_terms = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
+        grad_kernel_raw = (data_terms - trace_terms) / 2.0
+        tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
+        grad_noise_raw = noise * (jnp.dot(alpha, alpha) - tr_kinv)
+        grad_raw = jnp.concatenate([grad_kernel_raw, grad_noise_raw[None]])
+        grad_theta = grad_raw * raw  # chain rule: d raw/d theta = raw
+        grad_theta = grad_theta - (theta - prior_mu) / (prior_sigma**2)
+        return (g * grad_theta,)
+
+    logp.defvjp(logp_fwd, logp_bwd)
     return logp
 
 

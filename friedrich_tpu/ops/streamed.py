@@ -489,9 +489,13 @@ def streamed_cholesky_factor(
     )
     if not unroll:
         return _streamed_cholesky_impl(*args, precision=precision)
-    if isinstance(x_pad, jax.core.Tracer):
-        # inside an outer jit the call inlines (donation is meaningless
-        # and the result is a temp, which XLA aliases in place anyway)
+    if any(
+        isinstance(a, jax.core.Tracer) for a in (x_pad, noise, *leaves)
+    ) or isinstance(n, jax.core.Tracer):
+        # inside an outer jit/vmap (ANY traced operand — e.g. an MCMC
+        # density traces noise/kernel params while the inputs stay closure
+        # constants) the call inlines: donation is meaningless and the
+        # result is a temp, which XLA aliases in place anyway
         return _streamed_unrolled_impl(
             *args, fused=fused, precision=precision, storage=storage,
             solve_blocks=solve_blocks, diag_blocks=diag_blocks,
