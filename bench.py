@@ -41,11 +41,12 @@ def build_and_factor_fn(n: int):
     if n > 32768:
 
         def run(kernel, x, noise):
-            # trace-time-unrolled streamed build+factor: FLOP-optimal
-            # (~0.39 n^3) and single-L-buffer peak memory (ops/streamed.py)
-            l_mat, ok = streamed_cholesky_factor(
-                kernel, x, n, noise, block=5000, unroll=True
-            )
+            # trace-time-unrolled streamed build+factor with the TUNED
+            # auto schedule (ops/partition: block ~ cap/10, ~1024-wide
+            # solve/diag sub-blocks) — FLOP-optimal (~0.39 n^3), single-L
+            # peak memory, and exactly what the public API's streamed
+            # backend selects (block=None)
+            l_mat, ok = streamed_cholesky_factor(kernel, x, n, noise)
             return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
 
     else:

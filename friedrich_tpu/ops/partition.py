@@ -53,13 +53,50 @@ def auto_panel_block(cap: int) -> int:
     return pick_block(cap, min(target, cap))
 
 
-def auto_diag_blocks(block: int) -> int:
-    """Sub-blocking for a panel's diagonal factorization: 1 while the
-    monolithic ``jnp.linalg.cholesky`` is compile-safe, else the smallest
-    split that brings each sub-block under :data:`MAX_MONOLITHIC_DIAG`."""
-    if block <= MAX_MONOLITHIC_DIAG:
+#: Measured optimum sub-width for the per-panel trailing solves and
+#: diagonal factorizations (n=50k, B=5000 sweep, BASELINE.md round 3):
+#: splitting each panel solve into ~1024-wide blocked substitution steps
+#: beats both the single inverse-GEMM (solve_blocks=1: 0.675 s) and
+#: finer splits (625-wide: 0.601 s) — 0.567 s at 1000-wide.
+SUB_TARGET = 1024
+
+
+def _nearest_divisor(extent: int, target: int) -> int:
+    """Divisor of ``extent`` closest to ``target`` (ties: smaller)."""
+    best, best_d = 1, abs(target - 1)
+    f = 1
+    while f * f <= extent:
+        if extent % f == 0:
+            for cand in (f, extent // f):
+                d = abs(target - cand)
+                if d < best_d or (d == best_d and cand < best):
+                    best, best_d = cand, d
+        f += 1
+    return best
+
+
+def auto_solve_blocks(block: int) -> int:
+    """Sub-blocking for each panel's trailing solve: target ~1024-wide
+    steps (the measured optimum, see :data:`SUB_TARGET`), snapped to a
+    divisor of the panel width; 1 for panels at/below the target."""
+    if block <= SUB_TARGET:
         return 1
-    sub = -(-block // MAX_MONOLITHIC_DIAG)  # ceil division
-    while block % sub:
+    return _nearest_divisor(block, max(1, round(block / SUB_TARGET)))
+
+
+def auto_diag_blocks(block: int) -> int:
+    """Sub-blocking for a panel's diagonal factorization. Two forces:
+    the monolithic ``jnp.linalg.cholesky`` above
+    :data:`MAX_MONOLITHIC_DIAG` crashes the TPU compile helper (hard
+    constraint), and ~1024-wide sub-blocks measured fastest even where
+    the monolithic op compiles (B=5000: diag_blocks=5 shaved ~2% off the
+    headline). Same policy as :func:`auto_solve_blocks`, with a
+    hard-constraint fallback for widths whose divisors are coarse."""
+    if block <= SUB_TARGET:
+        return 1
+    sub = _nearest_divisor(block, max(1, round(block / SUB_TARGET)))
+    while block // sub > MAX_MONOLITHIC_DIAG:  # compile-safety floor
         sub += 1
+        while block % sub:
+            sub += 1
     return sub

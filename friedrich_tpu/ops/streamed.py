@@ -326,8 +326,8 @@ def streamed_cholesky_factor(
     fused: Optional[bool] = None,
     precision: Optional[str] = None,
     storage: Optional[str] = None,
-    solve_blocks: int = 1,
-    diag_blocks: int = 1,
+    solve_blocks: Optional[int] = None,
+    diag_blocks: Optional[int] = None,
 ) -> tuple[Array, Array]:
     """Covariance build + Cholesky fused, K never materialized.
 
@@ -389,9 +389,14 @@ def streamed_cholesky_factor(
     solve on the unrolled f32 path (``rsolve_lower_t_blocked``) — >1
     replaces the dense inverse-GEMM (m*B^2 MACs) with blocked forward
     substitution (m*B^2*(k+1)/(2k) MACs) at the cost of a k-step
-    sequential chain per panel. 1 (default) keeps the single-GEMM
-    solve; must divide ``block``. A tuning knob for the headline op —
-    measured A/B in BASELINE.md.
+    sequential chain per panel. ``None`` (default) applies the TUNED
+    policy (``ops/partition.auto_solve_blocks``: ~1024-wide steps, the
+    measured optimum — 0.567 s vs 0.675 s at the n=50k headline);
+    1 keeps the single-GEMM solve; must divide ``block``.
+    ``diag_blocks`` follows the same policy for the panel DIAGONAL
+    factorizations (``auto_diag_blocks``, which also enforces the
+    compile-safe monolithic-diagonal ceiling). Per-panel width
+    SCHEDULES default both to 1.
 
     ``precision``: MXU matmul precision for the WHOLE factorization
     (downdate GEMMs, panel solves, diagonal-block factorizations) —
@@ -405,14 +410,14 @@ def streamed_cholesky_factor(
     n=50k/B=5000 on a v5e, accuracy vs a float64 host factorization at
     n=8192) in BASELINE.md "Matmul precision on TPU".
     """
-    from .partition import auto_diag_blocks, auto_panel_block, pick_block
+    from .partition import (
+        auto_diag_blocks, auto_panel_block, auto_solve_blocks, pick_block,
+    )
     from .pallas.panel_fused import fused_supported
 
     cap = x_pad.shape[0]
     if block is None:
         block = auto_panel_block(cap)
-        if diag_blocks == 1 and unroll is not False:
-            diag_blocks = auto_diag_blocks(block)
     if isinstance(block, (tuple, list)):
         # per-panel width SCHEDULE: only the trace-time-unrolled program
         # supports uneven panels (the fori body needs one static width)
@@ -432,6 +437,17 @@ def streamed_cholesky_factor(
         if unroll is None:
             unroll = cap // block <= MAX_UNROLL_PANELS
         supported = unroll and fused_supported(cap, block, x_pad.dtype)
+    # tuned sub-blocking defaults (None = policy); schedules and the
+    # fori program run un-sub-blocked
+    single_width = isinstance(block, int)
+    if solve_blocks is None:
+        solve_blocks = (
+            auto_solve_blocks(block) if unroll and single_width else 1
+        )
+    if diag_blocks is None:
+        diag_blocks = (
+            auto_diag_blocks(block) if unroll and single_width else 1
+        )
     if fused is None:
         fused = False
     elif fused and not supported:

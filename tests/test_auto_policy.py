@@ -28,10 +28,14 @@ RNG = np.random.default_rng(11)
 
 class TestPolicy:
     def test_headline_size_matches_measured_optimum(self):
-        # the BASELINE.md round-2 sweep: B=5000 is the measured optimum at
-        # n=50k (0.670 s vs 0.909 s at B=2500)
+        # the BASELINE.md sweeps: B=5000 is the measured panel optimum at
+        # n=50k (round 2: 0.670 s vs 0.909 s at B=2500), and ~1024-wide
+        # solve/diag sub-blocks the round-3 optimum (0.567 s)
+        from friedrich_tpu.ops.partition import auto_solve_blocks
+
         assert auto_panel_block(50_000) == 5000
-        assert auto_diag_blocks(5000) == 1
+        assert auto_solve_blocks(5000) == 5
+        assert auto_diag_blocks(5000) == 5
 
     @pytest.mark.parametrize(
         "cap", [1024, 8192, 50_000, 65_536, 80_000, 100_000, 131_072]
@@ -48,11 +52,20 @@ class TestPolicy:
         assert block % sub == 0
         assert block // sub <= MAX_MONOLITHIC_DIAG
 
-    def test_diag_blocks_split_above_ceiling(self):
-        assert auto_diag_blocks(MAX_MONOLITHIC_DIAG) == 1
-        assert auto_diag_blocks(8000) == 2
-        assert auto_diag_blocks(10_000) == 2
-        assert auto_diag_blocks(20_000) == 4
+    def test_sub_block_policy(self):
+        from friedrich_tpu.ops.partition import SUB_TARGET, auto_solve_blocks
+
+        # at/below the target width: no sub-blocking
+        assert auto_solve_blocks(SUB_TARGET) == 1
+        assert auto_diag_blocks(1000) == 1
+        # ~1024-wide steps, snapped to divisors
+        assert auto_solve_blocks(2048) == 2
+        assert auto_solve_blocks(6250) == 5  # 1250-wide (6 is not a divisor)
+        assert auto_diag_blocks(8000) == 8
+        assert auto_diag_blocks(10_000) == 10
+        # hard compile-safety ceiling always respected
+        for b in (5000, 8000, 10_000, 12_500, 20_000):
+            assert b // auto_diag_blocks(b) <= MAX_MONOLITHIC_DIAG
 
     def test_default_block_resolves_to_policy(self):
         """``block=None`` must produce the SAME program as the explicit
