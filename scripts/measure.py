@@ -389,6 +389,102 @@ def exp_nuts(args):
             emit(exp="nuts_gp", chains=chains, error=str(e)[:300])
 
 
+def exp_serving(args):
+    """Serving throughput/latency: the TPU-backed AcceleratedGPServer at
+    --n (model on the accelerator), and the C++ daemon on CPU at --gp-n
+    (f64 single-thread; its per-request cost is O(n^2 m)). Reports
+    points/s and p50/p99 per-request latency, single and 4 concurrent
+    clients."""
+    import threading
+
+    import friedrich_tpu as ft
+    import friedrich_tpu.kernels as fk
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu import serving
+
+    rng = np.random.default_rng(0)
+    batch = 512
+    reqs = 20
+
+    def drive(port, d, tag, n_model, clients=1):
+        lat = []
+        lock = threading.Lock()
+
+        def one_client():
+            xq = rng.normal(size=(batch, d))
+            with serving.GPClient(port=port) as client:
+                client.predict_mean_variance(xq)  # warm
+                for _ in range(reqs):
+                    t0 = time.perf_counter()
+                    client.predict_mean_variance(xq)
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        lat.append(dt)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=one_client) for _ in range(clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat.sort()
+        emit(
+            exp="serving", server=tag, n=n_model, batch=batch,
+            clients=clients, requests=clients * reqs,
+            pts_per_s=round(clients * reqs * batch / wall),
+            p50_ms=round(1e3 * lat[len(lat) // 2], 2),
+            p99_ms=round(1e3 * lat[int(len(lat) * 0.99) - 1], 2),
+        )
+
+    # TPU-backed server at large n
+    try:
+        d = args.d
+        n = args.n
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        y = (np.sin(x[:, 0]) + args.noise * rng.normal(size=n)).astype(
+            np.float32
+        )
+        gp = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_kernel(fk.SquaredExp(ls=0.5, ampl=1.0))
+            .set_noise(args.noise)
+            .set_dtype("float32")
+            .set_backend("streamed")
+            .train()
+        )
+        with serving.AcceleratedGPServer(gp) as srv:
+            drive(srv.port, d, "accelerated", n, clients=1)
+            drive(srv.port, d, "accelerated", n, clients=4)
+        del gp
+    except Exception as e:
+        emit(exp="serving", server="accelerated", n=args.n,
+             error=str(e)[:300])
+
+    # C++ daemon on CPU at a CPU-feasible n
+    try:
+        import tempfile
+
+        nd = args.gp_n
+        xd = rng.normal(size=(nd, args.d))
+        yd = np.sin(xd[:, 0]) + 0.1 * rng.normal(size=nd)
+        gp_d = ft.GaussianProcess.new(
+            fp.ConstantPrior(0.0), fk.SquaredExp(1.0, 1.0), 0.3, None,
+            xd, yd,
+        )
+        with tempfile.TemporaryDirectory() as td:
+            bundle = Path(td) / "model.frsv"
+            serving.export_bundle(gp_d, bundle)
+            with serving.GPServer(bundle) as srv:
+                drive(srv.port, args.d, "daemon_cpu", nd, clients=1)
+                drive(srv.port, args.d, "daemon_cpu", nd, clients=4)
+    except Exception as e:
+        emit(exp="serving", server="daemon_cpu", n=args.gp_n,
+             error=str(e)[:300])
+
+
 def exp_diag(args):
     """Microbenchmarks of the factorization's constituent ops — locates the
     rate sink behind the tiled/hybrid backends (diagonal-block Cholesky and
@@ -574,7 +670,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("exps", nargs="+",
                    choices=["factor", "fit", "cov", "predict", "nuts",
-                            "gemm", "diag", "precacc", "solveblock", "all"])
+                            "serving", "gemm", "diag", "precacc",
+                            "solveblock", "all"])
     p.add_argument("--backend", default="hybrid",
                    choices=["dense", "streamed", "tiled", "hybrid"])
     p.add_argument("--n", type=int, default=50000)
@@ -621,8 +718,8 @@ def main(argv=None):
     for e in exps:
         {"factor": exp_factor, "fit": exp_fit, "cov": exp_cov,
          "predict": exp_predict,
-         "nuts": exp_nuts, "gemm": exp_gemm, "diag": exp_diag,
-         "precacc": exp_precacc,
+         "nuts": exp_nuts, "serving": exp_serving, "gemm": exp_gemm,
+         "diag": exp_diag, "precacc": exp_precacc,
          "solveblock": exp_solveblock}[e](args)
 
 
