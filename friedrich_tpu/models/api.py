@@ -108,11 +108,14 @@ class GaussianProcess:
         storage: Optional[str] = None,
         dtype=None,
         panel_block: Optional[int] = None,
+        precision: Optional[str] = None,
     ) -> "GaussianProcess":
         """Raw constructor (``mod.rs:142-167``). ``dtype`` overrides the
         ambient default compute dtype (see builder ``set_dtype``).
         ``panel_block`` overrides the streamed backend's tuned auto panel
-        width (``ops/partition.auto_panel_block``)."""
+        width (``ops/partition.auto_panel_block``); ``precision`` pins the
+        MXU matmul precision of every factorization this model performs
+        (streamed backend — see builder ``set_factor_precision``)."""
         if noise < 0:
             raise ConfigError(
                 f"The noise parameter should be non-negative but we tried to "
@@ -135,7 +138,7 @@ class GaussianProcess:
         state, ok = core.make_state(
             kernel, prior, noise, x, y, eps=cholesky_epsilon, method=method,
             cap=capacity, backend=backend, storage=storage,
-            block=panel_block,
+            block=panel_block, precision=precision,
         )
         if not bool(ok):
             raise CholeskyError()

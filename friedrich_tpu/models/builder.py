@@ -54,6 +54,7 @@ class GaussianProcessBuilder:
         self._storage: Optional[str] = None
         self._dtype = None
         self._panel_block: Optional[int] = None
+        self._precision: Optional[str] = None
 
     # -- setters (builder.rs:102-182) ----------------------------------------
 
@@ -150,6 +151,33 @@ class GaussianProcessBuilder:
         self._storage = storage
         return self
 
+    def set_factor_precision(
+        self, precision: Optional[str]
+    ) -> "GaussianProcessBuilder":
+        """MXU matmul precision for every factorization this model
+        performs (build, hyperparameter-fit rebuilds): None (ambient —
+        on TPU that is SINGLE-PASS bf16 operands with f32 accumulation),
+        'bf16', 'f32x3' (3-pass compensation), or 'f32' (true f32,
+        6-pass). Streamed backend only.
+
+        When to raise it: the heuristic lengthscale (mean pairwise
+        distance, ``kernel.rs:94-113``) makes K densely correlated, so
+        its top eigenvalue grows ~ 0.6 n ampl^2 — at large n the default
+        bf16 operand rounding (~2^-8 relative) swamps small noise^2
+        pivots and the factorization fails. Remedies, in measured
+        wall-clock order: ``set_cholesky_epsilon`` (bf16 speed,
+        substitutes failing pivots), 'f32x3' (~1.8x), 'f32' (~3x).
+        Measured ladder: BASELINE.md 'Matmul precision on TPU'."""
+        from ..config import MATMUL_PRECISION_MODES
+
+        if precision is not None and precision not in MATMUL_PRECISION_MODES:
+            raise ConfigError(
+                f"unknown factor precision {precision!r}; pick one of "
+                f"{sorted(MATMUL_PRECISION_MODES)}"
+            )
+        self._precision = precision
+        return self
+
     def set_panel_block(self, block: Optional[int]) -> "GaussianProcessBuilder":
         """Panel width for the streamed backend's fused build+factor.
         ``None`` (default) applies the TUNED auto policy — block ~ cap/10,
@@ -197,6 +225,7 @@ class GaussianProcessBuilder:
             storage=self._storage,
             dtype=self._dtype,
             panel_block=self._panel_block,
+            precision=self._precision,
         )
         if self._should_fit_prior or self._should_fit_kernel:
             gp.fit_parameters(

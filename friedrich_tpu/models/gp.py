@@ -73,6 +73,13 @@ class GPState:
     # (ops/partition.auto_panel_block: block ~ cap/10, the measured
     # headline optimum — see BASELINE.md)
     block: Optional[int] = struct.field(pytree_node=False, default=None)
+    # MXU matmul precision for factorizations (streamed backend):
+    # None (ambient = single-pass bf16 operands), "bf16", "f32x3", "f32".
+    # The heuristic lengthscale makes K densely correlated at large n
+    # (top eigenvalue ~ 0.6 n ampl^2), where the default bf16 operand
+    # rounding swamps small noise pivots — cholesky_epsilon or a
+    # multi-pass precision is then required (BASELINE.md round 3).
+    precision: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def capacity(self) -> int:
@@ -101,16 +108,16 @@ _AUTO_LARGE_THRESHOLD = 8192
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend,
-                  l0=None, storage=None, block=None):
+                  l0=None, storage=None, block=None, precision=None):
     with jax.named_scope(f"gp/build_factor[{backend}]"):
         return _build_factor_impl(
             kernel, x_pad, n_arr, noise, eps, method, backend, l0, storage,
-            block,
+            block, precision,
         )
 
 
 def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
-                       l0=None, storage=None, block=None):
+                       l0=None, storage=None, block=None, precision=None):
     if backend == "auto":
         # Above the dense threshold the trace-time-unrolled streamed
         # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
@@ -123,12 +130,20 @@ def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
             f"factor storage {storage!r} requires the 'streamed' backend "
             f"(got {backend!r})"
         )
+    if precision is not None and backend != "streamed":
+        from ..utils.errors import ConfigError
+
+        raise ConfigError(
+            f"factor precision {precision!r} requires the 'streamed' "
+            f"backend (got {backend!r}); other backends inherit the "
+            f"ambient config.matmul_precision scope"
+        )
     if backend == "streamed":
         from ..ops.streamed import streamed_cholesky_factor
 
         return streamed_cholesky_factor(
             kernel, x_pad, n_arr, noise, eps=eps, method=method, l0=l0,
-            storage=storage, block=block,
+            storage=storage, block=block, precision=precision,
         )
     if backend == "tiled":
         from ..ops.tiled import tiled_cholesky_factor
@@ -158,6 +173,7 @@ def make_state(
     backend: str = "dense",
     storage: Optional[str] = None,
     block: Optional[int] = None,
+    precision: Optional[str] = None,
 ) -> tuple[GPState, Array]:
     """Build a trained state from live data (``GaussianProcess::new``,
     ``mod.rs:142-167``): residualize against the prior, build the padded
@@ -180,7 +196,7 @@ def make_state(
     n_arr = jnp.asarray(n, dtype=jnp.int32)
     l_pad, ok = _build_factor(
         kernel, x_pad, n_arr, noise, eps, method, backend, storage=storage,
-        block=block,
+        block=block, precision=precision,
     )
     state = GPState(
         x=x_pad,
@@ -195,6 +211,7 @@ def make_state(
         backend=backend,
         storage=storage,
         block=block,
+        precision=precision,
     )
     return state, ok
 
@@ -214,6 +231,7 @@ def rebuild_cholesky(state: GPState,
         l0=state.l if reuse_buffer else None,
         storage=state.storage,
         block=state.block,
+        precision=state.precision,
     )
     return state.replace(l=l_pad), ok
 

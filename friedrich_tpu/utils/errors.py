@@ -25,7 +25,11 @@ class CholeskyError(FriedrichError):
         super().__init__(
             msg
             or "Cholesky decomposition failed; consider setting "
-            "`cholesky_epsilon` via the GaussianProcessBuilder."
+            "`cholesky_epsilon` via the GaussianProcessBuilder. On TPU in "
+            "float32, also consider `set_factor_precision('f32x3'|'f32')`: "
+            "the default MXU mode rounds matmul operands to bfloat16, "
+            "which cannot factor densely-correlated covariances (e.g. "
+            "heuristic lengthscales at large n) with small noise."
         )
 
 

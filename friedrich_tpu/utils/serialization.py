@@ -84,6 +84,7 @@ def save_gp(gp, path: str) -> None:
         "backend": state.backend,
         "storage": state.storage,
         "block": state.block,
+        "precision": state.precision,
         "n": int(state.n),
         "dtype": str(state.x.dtype),
     }
@@ -134,5 +135,6 @@ def load_gp(path: str):
             backend=header.get("backend", "dense"),
             storage=storage,
             block=header.get("block"),
+            precision=header.get("precision"),
         )
     return GaussianProcess(state)

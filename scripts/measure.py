@@ -164,6 +164,15 @@ def exp_fit(args):
     ).astype(np.float32)
     xq = rng.normal(size=(m, d)).astype(np.float32)
 
+    import contextlib
+
+    from friedrich_tpu import config as ftconfig
+
+    def _scope():
+        if args.precision == "ambient":
+            return contextlib.nullcontext()
+        return ftconfig.matmul_precision(args.precision)
+
     def build():
         b = (
             ft.GaussianProcessBuilder(x, y)
@@ -174,9 +183,12 @@ def exp_fit(args):
             .fit_prior()
             .set_fit_parameters(args.max_iter, 0.05)
         )
+        if args.eps:
+            b = b.set_cholesky_epsilon(args.eps)
         if args.storage != "none":
             b = b.set_factor_storage(args.storage)
-        return b.train()
+        with _scope():
+            return b.train()
 
     try:
         t0 = time.perf_counter()
@@ -197,16 +209,19 @@ def exp_fit(args):
             .set_dtype("float32")
             .set_backend(args.backend if args.backend != "dense" else "auto")
         )
+        if args.eps:
+            b2 = b2.set_cholesky_epsilon(args.eps)
         if args.storage != "none":
             b2 = b2.set_factor_storage(args.storage)
         kern = fk.Gaussian().heuristic_fit(
             jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
         )
-        gp2 = b2.set_kernel(kern).train()
-        gp2.fit_parameters(
-            fit_prior=True, fit_kernel=True, max_iter=args.max_iter,
-            convergence_fraction=0.05, fit_log=log,
-        )
+        with _scope():
+            gp2 = b2.set_kernel(kern).train()
+            gp2.fit_parameters(
+                fit_prior=True, fit_kernel=True, max_iter=args.max_iter,
+                convergence_fraction=0.05, fit_log=log,
+            )
         del gp2
         iters = len(log.records)
 
@@ -214,9 +229,16 @@ def exp_fit(args):
         t0 = time.perf_counter()
         gp3 = build()
         t_second = time.perf_counter() - t0
+        # model-quality check: posterior mean vs the noiseless generating
+        # function on held-out queries (RMSE floor = the aleatoric noise
+        # the model cannot remove; eps-substituted or low-precision fits
+        # that wreck the model show up here, not just in wall-clock)
+        f_true = np.sin(xq[:, 0]) + 0.5 * np.cos(xq[:, 1])
+        rmse = float(np.sqrt(np.mean((np.asarray(mean) - f_true) ** 2)))
         emit(
             exp="fit", backend=args.backend, n=n, d=d,
             storage=args.storage, max_iter=args.max_iter,
+            eps=args.eps, precision=args.precision,
             first_train_s=round(t_first, 3),
             train_s=round(t_second, 3),
             fit_iterations=iters,
@@ -225,6 +247,7 @@ def exp_fit(args):
             noise=float(gp3.noise),
             kernel_params=[float(v) for v in gp3.kernel.get_params()],
             lml=float(gp3.log_marginal_likelihood()),
+            rmse_vs_truth=round(rmse, 4),
             budget_s=round(60.0 * (n / 100_000) ** 3, 2),
         )
     except Exception as e:
@@ -702,6 +725,12 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=100,
                    help="ADAM iteration cap for the fit experiment "
                         "(reference default 100, builder.rs:76)")
+    p.add_argument("--eps", type=float, default=None,
+                   help="cholesky_epsilon for the fit experiment (the "
+                        "reference's remedy for ill-conditioned problems; "
+                        "the heuristic lengthscale makes K densely "
+                        "correlated at large n, which the default bf16 MXU "
+                        "pass cannot factor)")
     p.add_argument("--gp-n", type=int, default=1024)
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
     p.add_argument("--warmup", type=int, default=100)

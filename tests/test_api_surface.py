@@ -48,6 +48,7 @@ def test_gaussian_process_surface():
     new_kwargs = _kwargs_of(GP.new)
     assert {
         "method", "capacity", "backend", "storage", "dtype", "panel_block",
+        "precision",
     } <= new_kwargs
 
 
@@ -58,7 +59,8 @@ def test_builder_surface():
         B, "set_prior", "set_noise", "set_kernel", "set_cholesky_epsilon",
         "set_fit_parameters", "set_max_time", "fit_kernel", "fit_prior",
         "set_distance_method", "set_capacity", "set_backend",
-        "set_panel_block", "set_dtype", "set_factor_storage", "train",
+        "set_panel_block", "set_dtype", "set_factor_storage",
+        "set_factor_precision", "train",
     )
 
 

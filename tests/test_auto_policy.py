@@ -134,6 +134,42 @@ class TestApiPlumbing:
             np.asarray(state16.l), np.asarray(direct16)
         )
 
+    def test_factor_precision_reaches_state_and_survives_reload(
+        self, tmp_path
+    ):
+        x, y = self._data()
+        gp = (
+            GaussianProcessBuilder(x, y)
+            .set_dtype("float32")
+            .set_backend("streamed")
+            .set_factor_precision("f32")
+            .train()
+        )
+        assert gp.state.precision == "f32"
+        path = str(tmp_path / "gp_prec.npz")
+        gp.save(path)
+        from friedrich_tpu import GaussianProcess
+
+        gp2 = GaussianProcess.load(path)
+        assert gp2.state.precision == "f32"
+        gp2.set_hyperparameters(noise=0.4)  # rebuild keeps the precision
+        assert gp2.state.precision == "f32"
+
+    def test_factor_precision_validation(self):
+        from friedrich_tpu.utils.errors import ConfigError
+
+        x, y = self._data()
+        with pytest.raises(ConfigError):
+            GaussianProcessBuilder(x, y).set_factor_precision("f16")
+        with pytest.raises(ConfigError):
+            # precision requires the streamed backend
+            (
+                GaussianProcessBuilder(x, y)
+                .set_backend("dense")
+                .set_factor_precision("f32")
+                .train()
+            )
+
     def test_block_survives_save_load_and_rebuild(self, tmp_path):
         x, y = self._data()
         gp = (
