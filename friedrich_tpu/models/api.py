@@ -322,6 +322,7 @@ class GaussianProcess:
         gradient: str = "auto",
         num_probes: int = 8,
         seed: int = 0,
+        subsample: Optional[int] = None,
     ) -> None:
         """Refit prior/kernel/noise (``mod.rs:406-445``). Pass a
         :class:`~friedrich_tpu.utils.fitlog.FitLog` for structured
@@ -329,8 +330,11 @@ class GaussianProcess:
 
         ``gradient``: ``"exact"`` (reference parity path), ``"hutchinson"``
         (streamed large-n path sized to run wherever the factor fits), or
-        ``"auto"`` (default: by capacity). See
-        ``models/optimizer.fit_kernel_noise``."""
+        ``"auto"`` (default: by capacity). ``subsample``: fit the
+        hyperparameters on a random subset of that size and pay exactly
+        ONE full-n factorization at the end (the per-iteration O(n^3)
+        rebuild is the whole fit cost at scale). See
+        ``models/optimizer.fit_kernel_noise`` / ``fit_subsampled``."""
         self._state = _fit_parameters(
             self._state,
             fit_prior=fit_prior,
@@ -342,6 +346,7 @@ class GaussianProcess:
             gradient=gradient,
             num_probes=num_probes,
             seed=seed,
+            subsample=subsample,
         )
 
     def set_hyperparameters(self, kernel=None, noise: Optional[float] = None,

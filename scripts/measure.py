@@ -158,8 +158,12 @@ def exp_fit(args):
     rng = np.random.default_rng(0)
     n, d, m = args.n, args.d, args.m
     x = rng.normal(size=(n, d)).astype(np.float32)
+    # short true lengthscale: the heuristic init (ls ~ mean pairwise
+    # distance ~ sqrt(2d)) is deliberately mismatched so the ADAM fit has
+    # real work to do (otherwise it converges in one iteration and the
+    # "fit wall-clock" measures nothing)
     y = (
-        np.sin(x[:, 0]) + 0.5 * np.cos(x[:, 1])
+        np.sin(2.5 * x[:, 0]) + 0.5 * np.cos(2.0 * x[:, 1])
         + args.noise * rng.normal(size=n)
     ).astype(np.float32)
     xq = rng.normal(size=(m, d)).astype(np.float32)
@@ -179,15 +183,28 @@ def exp_fit(args):
             .set_noise(args.noise)
             .set_dtype("float32")
             .set_backend(args.backend if args.backend != "dense" else "auto")
-            .fit_kernel()
-            .fit_prior()
-            .set_fit_parameters(args.max_iter, 0.05)
         )
         if args.eps:
             b = b.set_cholesky_epsilon(args.eps)
         if args.storage != "none":
             b = b.set_factor_storage(args.storage)
         with _scope():
+            if args.subsample:
+                # heuristic + build, then the subsampled fit strategy
+                kern = fk.Gaussian().heuristic_fit(
+                    jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+                )
+                gp = b.set_kernel(kern).train()
+                gp.fit_parameters(
+                    fit_prior=True, fit_kernel=True,
+                    max_iter=args.max_iter, convergence_fraction=0.05,
+                    subsample=args.subsample,
+                )
+                return gp
+            b = (
+                b.fit_kernel().fit_prior()
+                .set_fit_parameters(args.max_iter, 0.05)
+            )
             return b.train()
 
     try:
@@ -200,6 +217,10 @@ def exp_fit(args):
         mean, var = gp.predict_in_batches(xq, batch_size=min(m, 4096))
         jax.block_until_ready((mean, var))
         t_predict = time.perf_counter() - t0
+        mean = np.asarray(mean)
+        # only ONE (cap, cap) factor fits in HBM at the headline size —
+        # drop this model before constructing the next
+        del gp
 
         # iteration count via an (untimed) logged refit from the same init
         log = FitLog()
@@ -221,6 +242,7 @@ def exp_fit(args):
             gp2.fit_parameters(
                 fit_prior=True, fit_kernel=True, max_iter=args.max_iter,
                 convergence_fraction=0.05, fit_log=log,
+                subsample=args.subsample,
             )
         del gp2
         iters = len(log.records)
@@ -233,12 +255,13 @@ def exp_fit(args):
         # function on held-out queries (RMSE floor = the aleatoric noise
         # the model cannot remove; eps-substituted or low-precision fits
         # that wreck the model show up here, not just in wall-clock)
-        f_true = np.sin(xq[:, 0]) + 0.5 * np.cos(xq[:, 1])
-        rmse = float(np.sqrt(np.mean((np.asarray(mean) - f_true) ** 2)))
+        f_true = np.sin(2.5 * xq[:, 0]) + 0.5 * np.cos(2.0 * xq[:, 1])
+        rmse = float(np.sqrt(np.mean((mean - f_true) ** 2)))
         emit(
             exp="fit", backend=args.backend, n=n, d=d,
             storage=args.storage, max_iter=args.max_iter,
             eps=args.eps, precision=args.precision,
+            subsample=args.subsample,
             first_train_s=round(t_first, 3),
             train_s=round(t_second, 3),
             fit_iterations=iters,
@@ -725,6 +748,9 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=100,
                    help="ADAM iteration cap for the fit experiment "
                         "(reference default 100, builder.rs:76)")
+    p.add_argument("--subsample", type=int, default=None,
+                   help="fit hyperparameters on a random subset of this "
+                        "size, one final full-n rebuild (fit experiment)")
     p.add_argument("--eps", type=float, default=None,
                    help="cholesky_epsilon for the fit experiment (the "
                         "reference's remedy for ill-conditioned problems; "

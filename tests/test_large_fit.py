@@ -277,6 +277,73 @@ class TestPublicApi:
         assert np.isfinite(gp.log_marginal_likelihood())
 
 
+class TestSubsampledFit:
+    def test_subsample_geq_n_equals_full_fit(self):
+        from friedrich_tpu.models.optimizer import fit_subsampled
+
+        state = _make_state(n=128)
+        full = fit_kernel_noise(
+            state, max_iter=10, convergence_fraction=0.05, max_time=300
+        )
+        sub = fit_subsampled(
+            state, 128, max_iter=10, convergence_fraction=0.05, max_time=300
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sub.kernel.get_params()),
+            np.asarray(full.kernel.get_params()),
+        )
+
+    def test_subsample_recovers_hyperparams(self):
+        from friedrich_tpu.models.optimizer import fit_subsampled
+
+        state = _make_state(n=600, seed=2)
+        full = fit_kernel_noise(
+            state, max_iter=30, convergence_fraction=0.05, max_time=300
+        )
+        sub = fit_subsampled(
+            state, 300, max_iter=30, convergence_fraction=0.05, max_time=300
+        )
+        # hyperparameters within sampling error of the full fit: the
+        # lengthscale is well identified; amplitude/noise trade off on
+        # half the data (scaled-path rescaling), so factor-of-2 there
+        p_sub = np.asarray(sub.kernel.get_params())
+        p_full = np.asarray(full.kernel.get_params())
+        np.testing.assert_allclose(p_sub[0], p_full[0], rtol=0.35)
+        assert 0.5 < p_sub[1] / p_full[1] < 2.0
+        assert 0.5 < float(sub.noise) / float(full.noise) < 2.0
+        # ... and the FULL factor was rebuilt (predictions use all n)
+        xq = jnp.asarray(np.random.default_rng(8).normal(size=(32, 3)))
+        m_full = core.predict_mean(full, xq)
+        m_sub = core.predict_mean(sub, xq)
+        np.testing.assert_allclose(
+            np.asarray(m_sub), np.asarray(m_full), atol=0.1
+        )
+
+    def test_api_subsample_kwarg(self):
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(300, 3))
+        y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=300)
+        gp = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_kernel(fk.SquaredExp(ls=2.0, ampl=0.5))
+            .set_noise(0.2)
+            .train()
+        )
+        before = gp.log_marginal_likelihood()
+        gp.fit_parameters(
+            fit_prior=False, fit_kernel=True, max_iter=20, subsample=150
+        )
+        assert gp.log_marginal_likelihood() > before
+        assert gp.num_samples == 300  # model still uses all data
+
+    def test_subsample_invalid(self):
+        from friedrich_tpu.models.optimizer import fit_subsampled
+
+        state = _make_state(n=64)
+        with pytest.raises(ValueError, match="subsample"):
+            fit_subsampled(state, 0)
+
+
 def test_make_probes_dead_rows_zero():
     state = _make_state(n=40, cap=64)
     probes = make_probes(state, 4, 0)
