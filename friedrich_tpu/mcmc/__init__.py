@@ -25,6 +25,7 @@ def sample_hyperparameters(
     num_chains: int = 4,
     sampler: str = "nuts",
     backend: str = "auto",
+    precision: str | None = None,
     **kwargs,
 ):
     """Posterior over log-hyperparameters of a trained GP.
@@ -37,7 +38,8 @@ def sample_hyperparameters(
     """
     state = getattr(gp_or_state, "state", gp_or_state)
     logp = make_hyperparam_logprob(
-        state, signs=initial_signs(state), backend=backend
+        state, signs=initial_signs(state), backend=backend,
+        precision=precision,
     )
     theta0 = initial_theta(state)
     fn = sample_nuts if sampler == "nuts" else sample_hmc

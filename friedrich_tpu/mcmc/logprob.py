@@ -53,6 +53,7 @@ def make_hyperparam_logprob(
     backend: str = "auto",
     num_probes: int = 16,
     probe_seed: int = 0,
+    precision: Optional[str] = None,
 ) -> Callable[[Array], Array]:
     """Return ``logp(theta)`` over log-magnitude hyperparameters.
 
@@ -68,6 +69,14 @@ def make_hyperparam_logprob(
     :func:`make_streamed_hyperparam_logprob`), or ``"auto"`` (default:
     by capacity, threshold :data:`STREAMED_LOGPROB_THRESHOLD`).
     ``num_probes``/``probe_seed`` configure the streamed gradient.
+
+    ``precision``: MXU matmul precision for the density's linear algebra
+    (``friedrich_tpu.config.MATMUL_PRECISION_MODES``). On TPU the
+    ambient default rounds operands to bfloat16 — at realistic n the
+    sampler then sees ``-inf`` over the long-lengthscale region (the
+    covariance goes computationally non-PSD), which silently truncates
+    the posterior. ``"f32"`` keeps the explored region numerically
+    honest at ~3x the factorization cost.
     """
     if backend not in ("auto", "dense", "streamed"):
         raise ValueError(f"unknown logprob backend {backend!r}")
@@ -81,7 +90,33 @@ def make_hyperparam_logprob(
         return make_streamed_hyperparam_logprob(
             state, prior_mu=prior_mu, prior_sigma=prior_sigma, signs=signs,
             num_probes=num_probes, probe_seed=probe_seed,
+            precision=precision,
         )
+    if precision is not None:
+        from ..config import MATMUL_PRECISION_MODES
+
+        if precision not in MATMUL_PRECISION_MODES:
+            raise ValueError(f"unknown precision {precision!r}")
+        base = _make_dense_logprob_impl(
+            state, prior_mu, prior_sigma, signs
+        )
+        mode = MATMUL_PRECISION_MODES[precision]
+
+        def logp_scoped(theta):
+            with jax.default_matmul_precision(mode):
+                return base(theta)
+
+        return logp_scoped
+    return _make_dense_logprob_impl(state, prior_mu, prior_sigma, signs)
+
+
+def _make_dense_logprob_impl(
+    state: GPState,
+    prior_mu: float = 0.0,
+    prior_sigma: float = 5.0,
+    signs: Optional[Array] = None,
+) -> Callable[[Array], Array]:
+    """The dense autodiff density (see :func:`make_hyperparam_logprob`)."""
     # capture only what the closure reads — never the (cap, cap) factor
     x_pad = state.x
     resid = state.resid
@@ -133,11 +168,15 @@ def make_streamed_hyperparam_logprob(
     block: Optional[int] = None,
     num_probes: int = 16,
     probe_seed: int = 0,
+    precision: Optional[str] = None,
 ) -> Callable[[Array], Array]:
     """``logp(theta)`` whose inner factorization is the single-device
     STREAMED build+factor (K never materialized) with blocked panel
     sweeps — the realistic-n NUTS density for one chip (n = 4k-50k),
-    vmappable over chains.
+    vmappable over chains. ``precision`` scopes ALL of the density's
+    matmuls (factorization, sweeps, gradient matvecs) — see
+    :func:`make_hyperparam_logprob` for why realistic-n sampling on TPU
+    wants ``"f32"``.
 
     The VALUE is the exact log posterior (data fit from the factor
     sweeps, log-det from the factor diagonal). The GRADIENT is a
@@ -183,6 +222,20 @@ def make_streamed_hyperparam_logprob(
     live_col = (jnp.arange(cap) < n_live)[:, None]
     probes = jnp.where(live_col, probes, 0.0)
 
+    import contextlib
+
+    if precision is None:
+        _scope = contextlib.nullcontext
+    else:
+        from ..config import MATMUL_PRECISION_MODES
+
+        if precision not in MATMUL_PRECISION_MODES:
+            raise ValueError(f"unknown precision {precision!r}")
+        _mode = MATMUL_PRECISION_MODES[precision]
+
+        def _scope():
+            return jax.default_matmul_precision(_mode)
+
     def _rebuild(theta):
         raw = sign_vec * jnp.exp(theta)
         kernel = kernel_template.with_params(raw[:nb])
@@ -213,27 +266,32 @@ def make_streamed_hyperparam_logprob(
 
     @jax.custom_vjp
     def logp(theta: Array) -> Array:
-        val, _, _ = _forward(theta)
+        with _scope():
+            val, _, _ = _forward(theta)
         return val
 
     def logp_fwd(theta):
-        val, alpha, kinv_z = _forward(theta)
+        with _scope():
+            val, alpha, kinv_z = _forward(theta)
         return val, (theta, alpha, kinv_z)
 
     def logp_bwd(res, g):
         theta, alpha, kinv_z = res
-        raw, kernel, noise = _rebuild(theta)
-        dk_alpha = streamed_grad_matvec(
-            kernel, x_pad, n_live, alpha, method=method
-        )
-        data_terms = dk_alpha @ alpha
-        dk_z = streamed_grad_matvec(
-            kernel, x_pad, n_live, probes, method=method
-        )
-        trace_terms = jnp.mean(jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1)
-        grad_kernel_raw = (data_terms - trace_terms) / 2.0
-        tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
-        grad_noise_raw = noise * (jnp.dot(alpha, alpha) - tr_kinv)
+        with _scope():
+            raw, kernel, noise = _rebuild(theta)
+            dk_alpha = streamed_grad_matvec(
+                kernel, x_pad, n_live, alpha, method=method
+            )
+            data_terms = dk_alpha @ alpha
+            dk_z = streamed_grad_matvec(
+                kernel, x_pad, n_live, probes, method=method
+            )
+            trace_terms = jnp.mean(
+                jnp.einsum("is,pis->ps", kinv_z, dk_z), axis=1
+            )
+            grad_kernel_raw = (data_terms - trace_terms) / 2.0
+            tr_kinv = jnp.mean(jnp.einsum("is,is->s", probes, kinv_z))
+            grad_noise_raw = noise * (jnp.dot(alpha, alpha) - tr_kinv)
         grad_raw = jnp.concatenate([grad_kernel_raw, grad_noise_raw[None]])
         grad_theta = grad_raw * raw  # chain rule: d raw/d theta = raw
         grad_theta = grad_theta - (theta - prior_mu) / (prior_sigma**2)

@@ -406,7 +406,8 @@ def exp_nuts(args):
     yg = jnp.sin(xg[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=(ngp,)), dtype)
     kern = fk.SquaredExp(ls=jnp.asarray(1.0, dtype), ampl=jnp.asarray(1.0, dtype))
     state, _ = core.make_state(kern, fp.ZeroPrior(), jnp.asarray(0.2, dtype), xg, yg)
-    logp = make_hyperparam_logprob(state)
+    prec = None if args.precision == "ambient" else args.precision
+    logp = make_hyperparam_logprob(state, precision=prec)
     theta0 = initial_theta(state)
     for chains in args.chains:
         warm, num = args.warmup, args.samples
@@ -425,6 +426,7 @@ def exp_nuts(args):
             t_run = time.perf_counter() - t1
             emit(
                 exp="nuts_gp", n=ngp, chains=chains,
+                precision=args.precision,
                 transitions=chains * (warm + num),
                 run_seconds=round(t_run, 3),
                 transitions_per_sec=round(chains * (warm + num) / t_run, 1),
