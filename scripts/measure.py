@@ -129,6 +129,12 @@ def exp_factor(args):
                     train_covariance_padded(kern, x, n, noise, method=method)
                 ))
             )
+        _, ok = jax.block_until_ready(f(x))
+        if not bool(ok):
+            emit(exp="factor", backend=backend, n=n, dtype=args.dtype,
+                 storage=args.storage,
+                 error="factorization ok=False (non-finite factor)")
+            return
         t = timeit(f, x, r=args.repeats)
         emit(
             exp="factor", backend=backend, n=n,
@@ -407,7 +413,9 @@ def exp_nuts(args):
     kern = fk.SquaredExp(ls=jnp.asarray(1.0, dtype), ampl=jnp.asarray(1.0, dtype))
     state, _ = core.make_state(kern, fp.ZeroPrior(), jnp.asarray(0.2, dtype), xg, yg)
     prec = None if args.precision == "ambient" else args.precision
-    logp = make_hyperparam_logprob(state, precision=prec)
+    logp = make_hyperparam_logprob(
+        state, precision=prec, backend=args.logprob_backend
+    )
     theta0 = initial_theta(state)
     for chains in args.chains:
         warm, num = args.warmup, args.samples
@@ -427,6 +435,7 @@ def exp_nuts(args):
             emit(
                 exp="nuts_gp", n=ngp, chains=chains,
                 precision=args.precision,
+                logprob_backend=args.logprob_backend,
                 transitions=chains * (warm + num),
                 run_seconds=round(t_run, 3),
                 transitions_per_sec=round(chains * (warm + num) / t_run, 1),
@@ -457,27 +466,36 @@ def exp_serving(args):
     def drive(port, d, tag, n_model, clients=1):
         lat = []
         lock = threading.Lock()
+        # all clients connect + warm (first request compiles the predict
+        # program on the accelerated server), THEN the timing window opens
+        barrier = threading.Barrier(clients + 1)
+        spans = []
 
         def one_client():
             xq = rng.normal(size=(batch, d))
             with serving.GPClient(port=port) as client:
                 client.predict_mean_variance(xq)  # warm
+                barrier.wait()
+                t_start = time.perf_counter()
                 for _ in range(reqs):
                     t0 = time.perf_counter()
                     client.predict_mean_variance(xq)
                     dt = time.perf_counter() - t0
                     with lock:
                         lat.append(dt)
+                with lock:
+                    spans.append((t_start, time.perf_counter()))
 
-        t0 = time.perf_counter()
         threads = [
             threading.Thread(target=one_client) for _ in range(clients)
         ]
         for t in threads:
             t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
         for t in threads:
             t.join()
-        wall = time.perf_counter() - t0
+        wall = max(e for _, e in spans) - t0
         lat.sort()
         emit(
             exp="serving", server=tag, n=n_model, batch=batch,
@@ -760,6 +778,9 @@ def main(argv=None):
                         "correlated at large n, which the default bf16 MXU "
                         "pass cannot factor)")
     p.add_argument("--gp-n", type=int, default=1024)
+    p.add_argument("--logprob-backend", default="auto",
+                   choices=["auto", "dense", "streamed"],
+                   help="MCMC density factorization path (nuts exp)")
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--samples", type=int, default=100)
