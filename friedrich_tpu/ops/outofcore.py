@@ -153,8 +153,16 @@ def outofcore_cholesky_factor(
                 l_host[:, i * block : (i + 1) * block]
             )
             s = _downdate(s, chunk, j0)
-        strip = np.asarray(_finish_panel(s, j0, eps))
-        if not np.isfinite(strip[j * block :]).all():
+        out = _finish_panel(s, j0, eps)
+        if storage == "bf16":
+            # round on DEVICE so the host download carries bf16 bytes —
+            # the host link (not the MXU) is this path's bottleneck, and
+            # the strip download is half its total traffic
+            out = out.astype(jnp.bfloat16)
+        strip = np.asarray(out)
+        if not np.isfinite(
+            strip[j * block :].astype(np.float32, copy=False)
+        ).all():
             ok = False
         l_host[:, j * block : (j + 1) * block] = strip
     return l_host, ok
