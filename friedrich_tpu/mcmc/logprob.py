@@ -41,8 +41,11 @@ LOG_2PI = math.log(2.0 * math.pi)
 #: dense build (autodiff-exact gradients) to the streamed one (custom-VJP
 #: analytic gradients) above this capacity: the dense VJP checkpoints the
 #: (cap, cap) covariance per chain per leapfrog step, which multiplies out
-#: of HBM with vmapped chains at realistic n.
-STREAMED_LOGPROB_THRESHOLD = 4096
+#: of HBM with vmapped chains at realistic n — and on the TPU runtime the
+#: dense autodiff program hits a device "kernel fault" at n=4096 where
+#: the streamed custom-VJP program runs (measured round 3, BASELINE.md
+#: "Realistic-n NUTS").
+STREAMED_LOGPROB_THRESHOLD = 2048
 
 
 def make_hyperparam_logprob(
