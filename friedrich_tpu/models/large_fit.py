@@ -93,6 +93,13 @@ def _grad_step_large(state: GPState, adam: AdamState, probes: Array, i,
     values already include this iteration's multiplicative update
     (``optimizer.rs:113-122``) and, on the scaled path, the closed-form
     rescale (``optimizer.rs:174,262-263``)."""
+    return _grad_step_large_impl(
+        state, adam, probes, i, convergence_fraction, scalable
+    )
+
+
+def _grad_step_large_impl(state: GPState, adam: AdamState, probes: Array, i,
+                          convergence_fraction, scalable: bool):
     from ..ops.streamed_matvec import streamed_grad_matvec
 
     with jax.named_scope("fit_large/solves"):
