@@ -8,6 +8,9 @@ distance matrix (one MXU GEMM) and a masked reduction.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -39,8 +42,17 @@ def fit_bandwidth_mean(x: Array, method: str = "gram") -> Array:
 def _bandwidth_mean_streamed(x: Array, method: str, block: int = 4096) -> Array:
     from ..ops.partition import pick_block
 
+    b = pick_block(x.shape[0], block)
+    return _bandwidth_mean_streamed_impl(x, b, method)
+
+
+# jitted at module level so repeated heuristic fits hit the compile cache
+# — the previous per-call fori_loop closure re-traced AND re-compiled on
+# every call (~6 s per heuristic_fit at n=50k through a remote compiler,
+# measured in scripts/profile_fit.py, for ~50 ms of device work)
+@functools.partial(jax.jit, static_argnames=("b", "method"))
+def _bandwidth_mean_streamed_impl(x: Array, b: int, method: str) -> Array:
     n, d = x.shape
-    b = pick_block(n, block)
     num = n // b
 
     def strip(j, acc):

@@ -281,6 +281,7 @@ def sample_nuts(
     pool_sum=None,
     step_size=None,
     inv_mass=None,
+    chain_batch=None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains with pooled dual-averaging warmup.
 
@@ -289,9 +290,61 @@ def sample_nuts(
     ``init_theta=prev.samples[-1]`` plus the saved adaptation.
 
     ``pool_mean`` / ``pool_sum`` pool warmup statistics across a sharded
-    chain axis (``lax.pmean``/``lax.psum`` under shard_map)."""
+    chain axis (``lax.pmean``/``lax.psum`` under shard_map).
+
+    ``chain_batch``: run the chains in SEQUENTIAL program launches of
+    this many vmapped chains each (must divide ``num_chains``). The TPU
+    runtime faults on too-wide vmapped NUTS programs at realistic GP
+    sizes (measured: >=16 chains x n=4096 with the streamed density —
+    BASELINE.md round 3); batching keeps each program inside that
+    envelope while every batch reuses the same compiled executable
+    (identical shapes). Each batch warms up independently — its own
+    pooled step size/mass — so the batched result's ``step_size`` /
+    ``inv_mass`` carry a leading batch axis; resume by passing them back
+    with the SAME ``chain_batch`` (rows are consumed per batch). Warmup
+    adaptation is then pooled over ``chain_batch`` chains rather than
+    all of them — statistically still valid (any fixed step size is),
+    just less sharing.
+    """
     pool_mean = pool_mean or (lambda v: v)
     pool_sum = pool_sum or (lambda v: v)
+    if chain_batch is not None and num_chains > chain_batch:
+        if num_chains % chain_batch != 0:
+            raise ValueError(
+                f"chain_batch={chain_batch} must divide "
+                f"num_chains={num_chains}"
+            )
+        results = []
+        for bi in range(num_chains // chain_batch):
+            key, sub = jax.random.split(key)
+            theta_b = (
+                init_theta if init_theta.ndim == 1
+                else init_theta[bi * chain_batch:(bi + 1) * chain_batch]
+            )
+            ss = (
+                step_size if step_size is None or jnp.ndim(step_size) == 0
+                else step_size[bi]
+            )
+            im = (
+                inv_mass if inv_mass is None or jnp.ndim(inv_mass) <= 1
+                else inv_mass[bi]
+            )
+            results.append(sample_nuts(
+                logp, theta_b, sub, num_warmup, num_samples, chain_batch,
+                max_depth, init_step_size, pool_mean, pool_sum, ss, im,
+            ))
+        return NUTSResult(
+            samples=jnp.concatenate([r.samples for r in results], axis=1),
+            accept_prob=jnp.concatenate(
+                [r.accept_prob for r in results], axis=1
+            ),
+            step_size=jnp.stack([r.step_size for r in results]),
+            inv_mass=jnp.stack([r.inv_mass for r in results]),
+            tree_depth=jnp.concatenate(
+                [r.tree_depth for r in results], axis=1
+            ),
+            divergent=jnp.concatenate([r.divergent for r in results], axis=1),
+        )
     dim = init_theta.shape[-1]
     dtype = init_theta.dtype
     val_grad = jax.value_and_grad(logp)

@@ -50,9 +50,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from ..utils.errors import CholeskyError
 from .gp import GPState, rebuild_cholesky
-from .optimizer import ADAM_EPS, AdamState, _adam_delta
+from .optimizer import ADAM_EPS, SYNC_EVERY, AdamState, _adam_delta
 
 Array = jnp.ndarray
 
@@ -141,6 +143,88 @@ def _grad_step_large_impl(state: GPState, adam: AdamState, probes: Array, i,
     return adam, kernel, noise, progress, info
 
 
+def _fused_fit_step_body(l: Array, state: GPState, adam: AdamState,
+                         probes: Array, i, convergence_fraction, done, ok,
+                         scalable: bool):
+    """One GUARDED fit iteration — gradient step + conditional
+    apply/rebuild — as a SINGLE device program.
+
+    Same math as ``_grad_step_large`` + host apply + ``rebuild_cholesky``
+    but fused, so the host never has to read ``progress`` between
+    iterations: the whole ADAM loop is enqueued back-to-back and the
+    ``done``/``ok`` flags are read only every :data:`SYNC_EVERY` steps
+    (``fit_kernel_noise_large``). Once ``done`` (converged — WITHOUT the
+    final sub-threshold apply, see the module docstring) or ``ok``
+    dropped (factorization failed), later steps pass everything through
+    an identity branch, so over-enqueued iterations cost one device
+    conditional, not an O(n^3) rebuild.
+
+    The factor rides as a SEPARATE first argument so the streamed entry
+    can donate it alone (``_fused_fit_step_donate``): the rebuild's fresh
+    factor chain lands in the old factor's buffer once the gradient
+    solves have consumed it — the single-factor HBM discipline of the
+    two-program loop's ``reuse_buffer=True`` — while the caller's
+    ``x``/``resid`` buffers stay valid.
+
+    The program carries exactly ONE conditional (around the apply+
+    rebuild): the gradient step runs unguarded even after convergence
+    (~0.1 s of wasted solves per over-enqueued iteration at n=50k — at
+    most SYNC_EVERY-1 of them), because a second guard level means a
+    cond-in-cond program that the remote TPU compile helper rejects at
+    headline sizes (HTTP 500, reproduced twice at n=50k).
+    """
+    state = state.replace(l=l)
+    adam2, kernel, noise, progress, _ = _grad_step_large_impl(
+        state, adam, probes, i, convergence_fraction, scalable
+    )
+    # pin the updated hyperparameters to the input dtypes: the
+    # conditional's branches must agree exactly, and the gradient math
+    # may narrow f64 params through f32 data terms (the host loop
+    # tolerated that drift; the fused branch may not)
+    kernel = jax.tree_util.tree_map(
+        lambda new, old: new.astype(old.dtype)
+        if hasattr(old, "dtype") else new,
+        kernel, state.kernel,
+    )
+    noise = noise.astype(state.noise.dtype)
+    adam2 = jax.tree_util.tree_map(
+        lambda new, old: new.astype(old.dtype), adam2, adam
+    )
+
+    # rebuild only while progressing AND not yet converged AND healthy;
+    # `done` latches at the first sub-threshold iteration, so a later
+    # spurious `progress` can never un-converge the frozen state
+    do_rebuild = jnp.logical_and(
+        progress, jnp.logical_and(jnp.logical_not(done), ok)
+    )
+
+    def apply_rebuild(st):
+        st = st.replace(kernel=kernel, noise=noise)
+        st2, ok2 = rebuild_cholesky(st)
+        return st2, jnp.asarray(ok2, bool)
+
+    def keep(st):
+        return st, ok
+
+    state2, ok2 = lax.cond(do_rebuild, apply_rebuild, keep, state)
+    done2 = jnp.logical_or(done, jnp.logical_not(progress))
+    return state2.l, state2.replace(l=None), adam2, done2, ok2
+
+
+#: Streamed-backend entry: the factor buffer is DONATED across iterations
+#: (the caller's ``state.l`` is consumed, like ``reuse_buffer=True``).
+_fused_fit_step_donate = partial(
+    jax.jit, static_argnames=("scalable",), donate_argnums=(0,)
+)(_fused_fit_step_body)
+
+#: Dense-backend entry (parity sizes): nothing is donated — callers may
+#: keep using their input state, matching the two-program loop, where
+#: only streamed-unrolled rebuilds ever donate (``ops/streamed.py``).
+_fused_fit_step_nodonate = partial(
+    jax.jit, static_argnames=("scalable",)
+)(_fused_fit_step_body)
+
+
 def fit_kernel_noise_large(
     state: GPState,
     max_iter: int,
@@ -157,6 +241,16 @@ def fit_kernel_noise_large(
     iterations; on a failed rebuild the state is unrecoverable and a
     :class:`CholeskyError` is raised (the reference panics here,
     ``algebra/mod.rs:90``).
+
+    Without a ``fit_log`` the loop runs FUSED (:func:`_fused_fit_step`):
+    iterations are enqueued back-to-back and the convergence flag is read
+    only every :data:`SYNC_EVERY` steps, eliminating the two per-iteration
+    device->host round-trips (the measured dispatch residual of the
+    round-3 fit decomposition, scripts/profile_fit.py). Consequences:
+    ``max_time`` is also only checked at sync points, and a failed
+    rebuild raises after the sync instead of immediately. Passing a
+    ``fit_log`` keeps the per-iteration loop (each record needs host
+    values anyway).
     """
     scalable = state.kernel.is_scalable
     kparams = jnp.where(state.kernel.get_params() == 0.0, ADAM_EPS,
@@ -172,6 +266,37 @@ def fit_kernel_noise_large(
 
     conv = jnp.asarray(convergence_fraction, dtype=params.dtype)
     t0 = time.monotonic()
+    if fit_log is None:
+        from .gp import _AUTO_LARGE_THRESHOLD
+
+        resolved = state.backend
+        if resolved == "auto":
+            resolved = (
+                "streamed" if state.capacity > _AUTO_LARGE_THRESHOLD
+                else "dense"
+            )
+        step_fn = (
+            _fused_fit_step_donate if resolved == "streamed"
+            else _fused_fit_step_nodonate
+        )
+        l, rest = state.l, state.replace(l=None)
+        done = jnp.asarray(False)
+        ok = jnp.asarray(True)
+        for i in range(1, max_iter + 1):
+            l, rest, adam, done, ok = step_fn(
+                l, rest, adam, probes, jnp.asarray(i), conv, done, ok,
+                scalable,
+            )
+            if i % SYNC_EVERY == 0 or i == max_iter:
+                if not bool(ok):
+                    raise CholeskyError(
+                        "Cholesky decomposition failed during "
+                        "hyperparameter fitting; consider setting "
+                        "`cholesky_epsilon`."
+                    )
+                if bool(done) or time.monotonic() - t0 > max_time:
+                    break
+        return rest.replace(l=l)
     for i in range(1, max_iter + 1):
         adam, kernel, noise, progress, info = _grad_step_large(
             state, adam, probes, jnp.asarray(i), conv, scalable

@@ -175,6 +175,56 @@ def _init_params(vec: Array) -> Array:
     return jnp.where(vec == 0.0, ADAM_EPS, vec)
 
 
+@partial(jax.jit, static_argnames=("scalable",))
+def _guarded_exact_step(state: GPState, adam: AdamState, i,
+                        convergence_fraction, done, ok, scalable: bool):
+    """One GUARDED exact-fit iteration: run the scaled/generic step unless
+    a previous iteration converged (``done``) or failed (``~ok``), in which
+    case pass everything through an identity branch.
+
+    Lets ``fit_kernel_noise`` enqueue iterations back-to-back and read the
+    flags only every :data:`SYNC_EVERY` steps instead of paying two
+    device->host round-trips per iteration (measured ~0.2-0.5 s each over
+    a remote-chip tunnel — see ``models/large_fit.py``, which applies the
+    same treatment to the streamed path). Unlike the streamed path, the
+    converging iteration's sub-threshold update IS applied before ``done``
+    latches — the reference's exact order (``optimizer.rs:256-270``)."""
+
+    def run(operand):
+        st, ad = operand
+        step = _scaled_step if scalable else _generic_step
+        st2, ad2, progress, ok2, _ = step(st, ad, i, convergence_fraction)
+        # pin dtypes to the inputs' so the conditional's branches agree
+        # (f64 params can narrow through f32 data terms — see
+        # models/large_fit.py::_fused_fit_step_body)
+        cast = lambda new, old: (
+            new.astype(old.dtype) if hasattr(old, "dtype") else new
+        )
+        st2 = st2.replace(
+            kernel=jax.tree_util.tree_map(cast, st2.kernel, st.kernel),
+            noise=st2.noise.astype(st.noise.dtype),
+        )
+        ad2 = jax.tree_util.tree_map(cast, ad2, ad)
+        return st2, ad2, jnp.logical_not(progress), jnp.asarray(ok2, bool)
+
+    def skip(operand):
+        st, ad = operand
+        return st, ad, done, ok
+
+    return jax.lax.cond(
+        jnp.logical_and(jnp.logical_not(done), ok), run, skip, (state, adam)
+    )
+
+
+#: Sync cadence of the guarded fit loops (here and in
+#: ``models/large_fit.py``): the device-side ``done``/``ok`` flags are
+#: read only every this many iterations — each read is a device->host
+#: sync costing a full round-trip over a remote-chip tunnel (measured
+#: ~0.2-0.5 s in scripts/profile_fit.py), while an over-enqueued
+#: iteration after convergence costs one skipped device conditional.
+SYNC_EVERY = 8
+
+
 #: ``gradient="auto"`` switches from the exact dense gradient terms to
 #: the streamed/Hutchinson large-n fit above this capacity: the exact
 #: path materializes K^-1 (cap^2) plus a (p, cap, cap) gradient stack
@@ -232,6 +282,26 @@ def fit_kernel_noise(
 
     conv = jnp.asarray(convergence_fraction, dtype=params.dtype)
     t0 = time.monotonic()
+    if fit_log is None:
+        # guarded loop: enqueue back-to-back, sync every SYNC_EVERY steps
+        # (max_time is then also only checked at sync points; a failed
+        # rebuild raises at the next sync instead of immediately)
+        done = jnp.asarray(False)
+        ok = jnp.asarray(True)
+        for i in range(1, max_iter + 1):
+            state, adam, done, ok = _guarded_exact_step(
+                state, adam, jnp.asarray(i), conv, done, ok, scalable
+            )
+            if i % SYNC_EVERY == 0 or i == max_iter:
+                if not bool(ok):
+                    raise CholeskyError(
+                        "Cholesky decomposition failed during "
+                        "hyperparameter fitting; consider setting "
+                        "`cholesky_epsilon`."
+                    )
+                if bool(done) or time.monotonic() - t0 > max_time:
+                    break
+        return state
     for i in range(1, max_iter + 1):
         state, adam, progress, ok, info = step(state, adam, jnp.asarray(i), conv)
         if not bool(ok):
@@ -257,13 +327,29 @@ def fit_kernel_noise(
     return state
 
 
+@jax.jit
+def _fit_prior_small(prior, x, resid, n):
+    """The O(n d) part of the prior refit as ONE jitted program.
+
+    Deliberately excludes the cap^2 factor from inputs/outputs: jitting
+    the whole-state refit would either copy the factor as a pass-through
+    output (2x peak HBM at n=50k) or require donation; and running it
+    eagerly costs ~3 s at n=50k in per-op dispatch over a remote-chip
+    tunnel (measured, scripts/profile_fit.py) for ~milliseconds of
+    device work."""
+    live = jnp.arange(x.shape[0]) < n
+    y_pad = resid + jnp.where(live, prior.mean(x), 0.0)
+    prior = prior.fit_padded(x, y_pad, live)
+    resid = jnp.where(live, y_pad - prior.mean(x), 0.0)
+    return prior, resid
+
+
 def fit_prior_padded(state: GPState) -> GPState:
     """Refit the prior on the original outputs and re-residualize
     (``fit_parameters``, ``mod.rs:414-421``). Jittable (masked fits)."""
-    live = jnp.arange(state.capacity) < state.n
-    y_pad = state.resid + jnp.where(live, state.prior.mean(state.x), 0.0)
-    prior = state.prior.fit_padded(state.x, y_pad, live)
-    resid = jnp.where(live, y_pad - prior.mean(state.x), 0.0)
+    prior, resid = _fit_prior_small(
+        state.prior, state.x, state.resid, state.n
+    )
     return state.replace(prior=prior, resid=resid)
 
 

@@ -424,6 +424,7 @@ def exp_nuts(args):
                 return sample_nuts(
                     logp, theta0, key, num_warmup=warm, num_samples=num,
                     num_chains=c, max_depth=6,
+                    chain_batch=args.chain_batch,
                 )
 
             res = run(jax.random.PRNGKey(0))
@@ -434,6 +435,7 @@ def exp_nuts(args):
             t_run = time.perf_counter() - t1
             emit(
                 exp="nuts_gp", n=ngp, chains=chains,
+                chain_batch=args.chain_batch,
                 precision=args.precision,
                 logprob_backend=args.logprob_backend,
                 transitions=chains * (warm + num),
@@ -782,6 +784,9 @@ def main(argv=None):
                    choices=["auto", "dense", "streamed"],
                    help="MCMC density factorization path (nuts exp)")
     p.add_argument("--chains", type=int, nargs="+", default=[4, 64])
+    p.add_argument("--chain-batch", type=int, default=None,
+                   help="run chains in sequential program launches of this "
+                        "many vmapped chains (TPU-runtime width ceiling)")
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--repeats", type=int, default=2)

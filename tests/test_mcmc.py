@@ -305,3 +305,66 @@ def test_ess_collapses_for_unmixed_chains():
     # well-mixed iid chains: ESS near the sample count
     good = jnp.asarray(rng.normal(size=(s, c, 1)))
     assert float(ess(good)[0]) > 0.5 * s * c
+
+
+def test_nuts_chain_batch_matches_shapes_and_mixes():
+    """chain_batch runs the chains in sequential program launches
+    (the TPU-runtime vmap-width ceiling, BASELINE.md round 3): the
+    batched result must carry all chains, mix like the unbatched run,
+    and expose per-batch adaptation with a leading batch axis."""
+    from friedrich_tpu.mcmc import sample_nuts
+
+    cov = jnp.asarray([[2.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(x):
+        return -0.5 * x @ prec @ x
+
+    res = sample_nuts(
+        logp,
+        jnp.zeros(2),
+        jax.random.PRNGKey(0),
+        num_warmup=400,
+        num_samples=1500,
+        num_chains=8,
+        chain_batch=4,
+        max_depth=8,
+    )
+    assert res.samples.shape == (1500, 8, 2)
+    assert res.accept_prob.shape == (1500, 8)
+    # per-batch adaptation: leading batch axis of size 2
+    assert res.step_size.shape == (2,)
+    assert res.inv_mass.shape == (2, 2)
+    draws = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(axis=0), [0.0, 0.0], atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), np.asarray(cov), atol=0.35)
+    assert np.all(np.asarray(rhat(res.samples)) < 1.1)
+
+    # resume with the saved per-batch adaptation (warmup skipped)
+    res2 = sample_nuts(
+        logp,
+        res.samples[-1],
+        jax.random.PRNGKey(1),
+        num_samples=200,
+        num_chains=8,
+        chain_batch=4,
+        step_size=res.step_size,
+        inv_mass=res.inv_mass,
+    )
+    assert res2.samples.shape == (200, 8, 2)
+    assert bool(jnp.all(jnp.isfinite(res2.samples)))
+
+
+def test_nuts_chain_batch_must_divide():
+    from friedrich_tpu.mcmc import sample_nuts
+
+    with pytest.raises(ValueError, match="chain_batch"):
+        sample_nuts(
+            lambda x: -0.5 * x @ x,
+            jnp.zeros(2),
+            jax.random.PRNGKey(0),
+            num_warmup=10,
+            num_samples=10,
+            num_chains=6,
+            chain_batch=4,
+        )
