@@ -1,18 +1,33 @@
-"""Headline benchmark (BASELINE.json metric): n=50k kernel-matrix build +
-Cholesky wall-clock on one chip, float32.
+"""Headline benchmarks (BASELINE.json metrics), measured THROUGH THE
+PUBLIC API. Prints TWO JSON lines:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. ``n=50k kernel-build + Cholesky`` — ``GaussianProcess.new(...,
+   backend="streamed")``: exactly the facade's state construction
+   (input conversion, prior residualization, capacity padding, fused
+   streamed build+factor with the tuned auto schedule, ok-flag sync),
+   compile excluded. A lowering-equality test pins the facade's factor
+   program to the direct op at this shape
+   (``tests/test_auto_policy.py::test_facade_build_factor_lowers_identical_at_headline_shape``).
+2. ``n=50k fit+predict`` — the NORTH-STAR op (``builder.rs:189-214`` ->
+   ``optimizer.rs:211-283``): heuristic init, build+factor, prior refit,
+   ADAM hyperparameter fit (the measured auto-subsample policy), and a
+   4,096-point posterior mean+variance batch, all through
+   ``GaussianProcessBuilder(...).fit_kernel().fit_prior().train()``.
+   The second in-process train is timed (execution-only; the first
+   carries remote compiles).
 
-``vs_baseline`` is the north-star budget ratio: BASELINE.json targets exact
-GP fit+predict at n=100k in < 60 s on a pod slice. The budget is scaled
-cubically to the measured size (Cholesky FLOPs ~ n^3):
+``vs_baseline`` is the north-star budget ratio: BASELINE.json targets
+exact GP fit+predict at n=100k in < 60 s on a pod slice. The budget is
+scaled cubically to the measured size (Cholesky FLOPs ~ n^3):
 ``vs_baseline = 60 * (n / 100_000)^3 / measured_seconds`` — higher is
-better; >1 means inside the size-adjusted budget (this stays honest when
-the benchmark falls back to a smaller n).
+better; >1 means inside the size-adjusted single-chip budget (this stays
+honest when the benchmark falls back to a smaller n).
 
-The reference publishes no numbers (BASELINE.md), so there is no reference
-wall-clock to normalize against; its asymptotic cost for this op is
-O(n^2 d) kernel evals + O(n^3/3) Cholesky FLOPs on one CPU thread in f64.
+The reference publishes no numbers (BASELINE.md), so there is no
+reference wall-clock to normalize against; its asymptotic cost is
+O(n^2 d) kernel evals + O(n^3/3) Cholesky FLOPs per factorization on one
+CPU thread in f64, and its fit pays one factorization + one explicit
+O(n^3) inverse PER ADAM ITERATION (``optimizer.rs:169,267-270``).
 """
 
 from __future__ import annotations
@@ -26,65 +41,101 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_and_factor_fn(n: int):
-    """Fused covariance-build + Cholesky.
-
-    Large n uses the streamed left-looking factorization (K is never
-    materialized in HBM; one small fori_loop program, avoiding both the
-    2x-K memory peak and the monolithic-Cholesky compile blowup); small n
-    uses the dense XLA path.
-    """
-    from friedrich_tpu.ops.cholesky import cholesky
-    from friedrich_tpu.ops.covariance import cross_covariance
-    from friedrich_tpu.ops.streamed import streamed_cholesky_factor
-
-    if n > 32768:
-
-        def run(kernel, x, noise):
-            # trace-time-unrolled streamed build+factor with the TUNED
-            # auto schedule (ops/partition: block ~ cap/10, ~1024-wide
-            # solve/diag sub-blocks) — FLOP-optimal (~0.39 n^3), single-L
-            # peak memory, and exactly what the public API's streamed
-            # backend selects (block=None)
-            l_mat, ok = streamed_cholesky_factor(kernel, x, n, noise)
-            return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
-
-    else:
-
-        def run(kernel, x, noise):
-            k = cross_covariance(kernel, x, x)
-            k = k + (noise * noise) * jnp.eye(k.shape[0], dtype=k.dtype)
-            l_mat, ok = cholesky(k)
-            # cheap scalar that depends on the whole factor
-            return jnp.sum(jnp.log(jnp.diagonal(l_mat))), ok
-
-    return jax.jit(run)
-
-
-def bench_once(n: int, d: int = 8, repeats: int = 3) -> float:
+def bench_build_factor(n: int, d: int = 8, repeats: int = 3) -> float:
+    """Time ``GaussianProcess.new(..., backend="streamed")`` — the public
+    facade's full state construction — compile excluded (first call
+    warms the jit cache; the factor program is shape-stable)."""
+    import friedrich_tpu as ft
     from friedrich_tpu.kernels import SquaredExp
+    from friedrich_tpu.priors import ZeroPrior
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(n, d)), dtype=jnp.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
     # well-conditioned setup for f32 at large n (short lengthscale, unit
-    # noise): the benchmark measures build+factor throughput, and ill
+    # noise): this line measures build+factor throughput, and ill
     # conditioning would make f32 pivots marginal at n=50k
     kernel = SquaredExp(
         ls=jnp.asarray(0.5, jnp.float32), ampl=jnp.asarray(1.0, jnp.float32)
     )
-    noise = jnp.asarray(1.0, jnp.float32)
-    run = build_and_factor_fn(n)
-    out, ok = run(kernel, x, noise)  # compile + warm up
-    jax.block_until_ready(out)
-    if not bool(ok):
-        raise RuntimeError("cholesky failed in benchmark")
+
+    def make():
+        # facade constructor: conversion, residualization, padding, fused
+        # streamed build+factor (tuned auto schedule), CholeskyError check
+        # (the ok-flag read is the blocking sync)
+        return ft.GaussianProcess.new(
+            ZeroPrior(), kernel, 1.0, None, x, y, backend="streamed"
+        )
+
+    gp = make()  # compile + warm up
     times = []
     for _ in range(repeats):
+        del gp  # only ONE (cap, cap) factor fits in HBM at n=50k
         t0 = time.perf_counter()
-        out, ok = run(kernel, x, noise)
-        jax.block_until_ready(out)
+        gp = make()
         times.append(time.perf_counter() - t0)
+    del gp
     return float(np.median(times))
+
+
+def bench_fit_predict(n: int, d: int = 8, m: int = 4096) -> float:
+    """Time the full north-star op through the builder: heuristic init +
+    build/factor + prior refit + hyperparameter fit (auto-subsample
+    policy) + one m-point posterior mean+variance batch.
+
+    ``set_factor_precision("f32")``: the heuristic lengthscale makes K
+    densely correlated (top eigenvalue ~ 0.6 n ampl^2), which the TPU's
+    ambient single-pass bf16 MXU mode cannot factor at this n — the
+    6-pass true-f32 mode is the measured remedy (BASELINE.md round 3).
+    """
+    import friedrich_tpu as ft
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    # short true lengthscale: the heuristic init (ls ~ sqrt(2d)) is
+    # genuinely wrong, so the ADAM fit has real work to do
+    y = (
+        np.sin(2.5 * x[:, 0]) + 0.5 * np.cos(2.0 * x[:, 1])
+        + rng.normal(size=n)
+    ).astype(np.float32)
+    xq = rng.normal(size=(m, d)).astype(np.float32)
+
+    def run():
+        gp = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_noise(1.0)
+            .set_dtype("float32")
+            .set_backend("streamed")
+            .set_factor_precision("f32")
+            .set_fit_subsample("auto")
+            .set_fit_parameters(100, 0.05)
+            .fit_kernel()
+            .fit_prior()
+            .train()
+        )
+        mean, var = gp.predict_in_batches(xq, batch_size=m)
+        jax.block_until_ready((mean, var))
+        del gp
+
+    run()  # compile-heavy first pass (remote compiles dominate)
+    t0 = time.perf_counter()
+    run()  # execution-only: every program is cached
+    return time.perf_counter() - t0
+
+
+def _emit(metric: str, secs: float, n: int) -> None:
+    budget = 60.0 * (n / 100_000) ** 3
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(secs, 4),
+                "unit": "s",
+                "vs_baseline": round(budget / secs, 2),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -93,26 +144,38 @@ def main() -> None:
     secs = None
     for attempt, n in ((1, 50_000), (2, 50_000), (3, 32_768)):
         try:
-            secs = bench_once(n)
+            secs = bench_build_factor(n)
             break
         except Exception as e:  # noqa: BLE001
             print(
-                f"attempt {attempt} (n={n}) failed ({type(e).__name__}); "
+                f"attempt {attempt} (n={n}) failed ({type(e).__name__}: {e}); "
                 f"retrying",
                 file=sys.stderr,
             )
     if secs is None:
         raise SystemExit("benchmark failed at every size")
-    budget = 60.0 * (n / 100_000) ** 3
-    print(
-        json.dumps(
-            {
-                "metric": f"n={n} kernel-build+Cholesky wall-clock (1 chip, f32)",
-                "value": round(secs, 4),
-                "unit": "s",
-                "vs_baseline": round(budget / secs, 2),
-            }
-        )
+    _emit(
+        f"n={n} kernel-build+Cholesky wall-clock (public API, 1 chip, f32)",
+        secs, n,
+    )
+
+    fit_secs = None
+    for attempt, n_fit in ((1, 50_000), (2, 50_000), (3, 32_768)):
+        try:
+            fit_secs = bench_fit_predict(n_fit)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"fit attempt {attempt} (n={n_fit}) failed "
+                f"({type(e).__name__}: {e}); retrying",
+                file=sys.stderr,
+            )
+    if fit_secs is None:
+        raise SystemExit("fit+predict benchmark failed at every size")
+    _emit(
+        f"n={n_fit} fit+predict wall-clock (north-star op, public API, "
+        f"1 chip, f32)",
+        fit_secs, n_fit,
     )
 
 

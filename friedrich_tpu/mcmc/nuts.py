@@ -314,6 +314,27 @@ def sample_nuts(
                 f"chain_batch={chain_batch} must divide "
                 f"num_chains={num_chains}"
             )
+        # batched-resume adaptation rows are consumed positionally —
+        # validate the leading batch axis against this call's batch count
+        # so a mismatched chain_batch cannot silently recycle the wrong
+        # step size / mass per chain group
+        nb = num_chains // chain_batch
+        if step_size is not None and jnp.ndim(step_size) > 0 \
+                and step_size.shape[0] != nb:
+            raise ValueError(
+                f"batched step_size has {step_size.shape[0]} rows but "
+                f"num_chains={num_chains} / chain_batch={chain_batch} "
+                f"= {nb} batches; resume with the same chain_batch the "
+                f"adaptation was produced with"
+            )
+        if inv_mass is not None and jnp.ndim(inv_mass) > 1 \
+                and inv_mass.shape[0] != nb:
+            raise ValueError(
+                f"batched inv_mass has {inv_mass.shape[0]} rows but "
+                f"num_chains={num_chains} / chain_batch={chain_batch} "
+                f"= {nb} batches; resume with the same chain_batch the "
+                f"adaptation was produced with"
+            )
         results = []
         for bi in range(num_chains // chain_batch):
             key, sub = jax.random.split(key)
@@ -344,6 +365,21 @@ def sample_nuts(
                 [r.tree_depth for r in results], axis=1
             ),
             divergent=jnp.concatenate([r.divergent for r in results], axis=1),
+        )
+    # unbatched run: adaptation must be a scalar step size / (dim,) mass —
+    # a leading batch axis here means the arrays came from a chain_batch
+    # run and would be consumed as per-chain values silently
+    if step_size is not None and jnp.ndim(step_size) > 0:
+        raise ValueError(
+            f"step_size has a leading batch axis (shape "
+            f"{jnp.shape(step_size)}) but this run is unbatched; pass "
+            f"the chain_batch the adaptation was produced with"
+        )
+    if inv_mass is not None and jnp.ndim(inv_mass) > 1:
+        raise ValueError(
+            f"inv_mass has a leading batch axis (shape "
+            f"{jnp.shape(inv_mass)}) but this run is unbatched; pass "
+            f"the chain_batch the adaptation was produced with"
         )
     dim = init_theta.shape[-1]
     dtype = init_theta.dtype

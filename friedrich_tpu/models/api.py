@@ -322,7 +322,8 @@ class GaussianProcess:
         gradient: str = "auto",
         num_probes: int = 8,
         seed: int = 0,
-        subsample: Optional[int] = None,
+        subsample=None,
+        sync_every: Optional[int] = None,
     ) -> None:
         """Refit prior/kernel/noise (``mod.rs:406-445``). Pass a
         :class:`~friedrich_tpu.utils.fitlog.FitLog` for structured
@@ -331,10 +332,17 @@ class GaussianProcess:
         ``gradient``: ``"exact"`` (reference parity path), ``"hutchinson"``
         (streamed large-n path sized to run wherever the factor fits), or
         ``"auto"`` (default: by capacity). ``subsample``: fit the
-        hyperparameters on a random subset of that size and pay exactly
-        ONE full-n factorization at the end (the per-iteration O(n^3)
-        rebuild is the whole fit cost at scale). See
+        hyperparameters on a random subset of that size (int) — or
+        ``"auto"`` for the measured default policy
+        (``optimizer.auto_subsample``) — and pay exactly ONE full-n
+        factorization at the end (the per-iteration O(n^3) rebuild is the
+        whole fit cost at scale). ``sync_every``: device->host flag-read
+        cadence of the guarded fit loops (None = the tuned default;
+        ``max_time``/Cholesky failures are only observed at sync points —
+        pass 1 for per-iteration checks). See
         ``models/optimizer.fit_kernel_noise`` / ``fit_subsampled``."""
+        from .optimizer import SYNC_EVERY
+
         self._state = _fit_parameters(
             self._state,
             fit_prior=fit_prior,
@@ -347,6 +355,7 @@ class GaussianProcess:
             num_probes=num_probes,
             seed=seed,
             subsample=subsample,
+            sync_every=SYNC_EVERY if sync_every is None else sync_every,
         )
 
     def set_hyperparameters(self, kernel=None, noise: Optional[float] = None,

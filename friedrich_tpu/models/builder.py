@@ -55,6 +55,8 @@ class GaussianProcessBuilder:
         self._dtype = None
         self._panel_block: Optional[int] = None
         self._precision: Optional[str] = None
+        self._fit_subsample = None
+        self._fit_gradient = "auto"
 
     # -- setters (builder.rs:102-182) ----------------------------------------
 
@@ -190,6 +192,34 @@ class GaussianProcessBuilder:
         self._panel_block = block
         return self
 
+    def set_fit_subsample(self, subsample) -> "GaussianProcessBuilder":
+        """Fit strategy for ``train()``'s hyperparameter fit: ``None``
+        (default — the reference's full fit, one O(n^3) factorization per
+        ADAM iteration, ``optimizer.rs:267-270``), an int (fit on a random
+        subset of that size, then exactly ONE full-n factorization), or
+        ``"auto"`` (the measured policy ``optimizer.auto_subsample``:
+        full fit below n=24576, else ``max(8192, n // 5)`` — at n=50k
+        this is both ~2x faster and a better final model, BASELINE.md).
+        See ``models/optimizer.fit_subsampled``."""
+        if subsample is not None and subsample != "auto":
+            if not isinstance(subsample, int) or subsample <= 0:
+                raise ConfigError(
+                    f"fit subsample must be a positive int, 'auto', or "
+                    f"None, got {subsample!r}"
+                )
+        self._fit_subsample = subsample
+        return self
+
+    def set_fit_gradient(self, gradient: str) -> "GaussianProcessBuilder":
+        """Gradient method for ``train()``'s fit: 'auto' (default — exact
+        dense terms below the large-n threshold, streamed/Hutchinson
+        above), 'exact', or 'hutchinson'. See
+        ``models/optimizer.fit_kernel_noise``."""
+        if gradient not in ("auto", "exact", "hutchinson"):
+            raise ConfigError(f"unknown fit gradient {gradient!r}")
+        self._fit_gradient = gradient
+        return self
+
     # -- train (builder.rs:189-214) ----------------------------------------------
 
     def train(self) -> GaussianProcess:
@@ -234,5 +264,7 @@ class GaussianProcessBuilder:
                 max_iter=self._max_iter,
                 convergence_fraction=self._convergence_fraction,
                 max_time=self._max_time,
+                gradient=self._fit_gradient,
+                subsample=self._fit_subsample,
             )
         return gp

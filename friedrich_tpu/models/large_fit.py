@@ -54,7 +54,7 @@ from jax import lax
 
 from ..utils.errors import CholeskyError
 from .gp import GPState, rebuild_cholesky
-from .optimizer import ADAM_EPS, SYNC_EVERY, AdamState, _adam_delta
+from .optimizer import ADAM_EPS, SYNC_EVERY, AdamState, _adam_delta, _sync_now
 
 Array = jnp.ndarray
 
@@ -233,24 +233,30 @@ def fit_kernel_noise_large(
     num_probes: int = 8,
     seed: int = 0,
     fit_log=None,
+    sync_every: int = SYNC_EVERY,
 ) -> GPState:
     """Run the large-n ADAM fit until convergence / max_iter / max_time.
 
     Dispatches on ``kernel.is_scalable`` like ``fit_parameters``
-    (``mod.rs:434-444``). The state's factor buffer is DONATED across
-    iterations; on a failed rebuild the state is unrecoverable and a
-    :class:`CholeskyError` is raised (the reference panics here,
-    ``algebra/mod.rs:90``).
+    (``mod.rs:434-444``). On the STREAMED backend the input state's
+    factor buffer is DONATED — consumed UNCONDITIONALLY by the very
+    first fused step, even when the fit converges immediately without a
+    rebuild — so callers must not retain/reuse the input ``state`` after
+    this call (use the returned state; a retained input hits JAX's
+    deleted-buffer error). On a failed rebuild the state is
+    unrecoverable and a :class:`CholeskyError` is raised (the reference
+    panics here, ``algebra/mod.rs:90``).
 
     Without a ``fit_log`` the loop runs FUSED (:func:`_fused_fit_step`):
     iterations are enqueued back-to-back and the convergence flag is read
-    only every :data:`SYNC_EVERY` steps, eliminating the two per-iteration
-    device->host round-trips (the measured dispatch residual of the
-    round-3 fit decomposition, scripts/profile_fit.py). Consequences:
-    ``max_time`` is also only checked at sync points, and a failed
-    rebuild raises after the sync instead of immediately. Passing a
-    ``fit_log`` keeps the per-iteration loop (each record needs host
-    values anyway).
+    only at iteration 1 and then every ``sync_every`` steps (default
+    :data:`SYNC_EVERY`), eliminating the two per-iteration device->host
+    round-trips (the measured dispatch residual of the round-3 fit
+    decomposition, scripts/profile_fit.py). Consequences: ``max_time``
+    is also only checked at sync points, and a failed rebuild raises
+    after the sync instead of immediately — pass ``sync_every=1`` for
+    per-iteration checks. Passing a ``fit_log`` keeps the per-iteration
+    loop (each record needs host values anyway).
     """
     scalable = state.kernel.is_scalable
     kparams = jnp.where(state.kernel.get_params() == 0.0, ADAM_EPS,
@@ -287,7 +293,7 @@ def fit_kernel_noise_large(
                 l, rest, adam, probes, jnp.asarray(i), conv, done, ok,
                 scalable,
             )
-            if i % SYNC_EVERY == 0 or i == max_iter:
+            if _sync_now(i, max_iter, sync_every):
                 if not bool(ok):
                     raise CholeskyError(
                         "Cholesky decomposition failed during "

@@ -225,12 +225,47 @@ def _guarded_exact_step(state: GPState, adam: AdamState, i,
 SYNC_EVERY = 8
 
 
+def _sync_now(i: int, max_iter: int, sync_every: int) -> bool:
+    """Sync points of the guarded fit loops: the FIRST iteration (so an
+    immediately-failing Cholesky raises fast and ``max_time`` cannot
+    silently overshoot by a full cadence of O(n^3) rebuilds — the
+    reference checks the clock every iteration, ``optimizer.rs:138``),
+    then every ``sync_every`` iterations, then the last."""
+    return i == 1 or i % sync_every == 0 or i == max_iter
+
+
 #: ``gradient="auto"`` switches from the exact dense gradient terms to
 #: the streamed/Hutchinson large-n fit above this capacity: the exact
 #: path materializes K^-1 (cap^2) plus a (p, cap, cap) gradient stack
 #: (``optimizer.rs:32,169``; ``algebra/mod.rs:129-155``) — 40 GB at
 #: n=50k f32 where the streamed fit needs only the factor.
 LARGE_FIT_THRESHOLD = 8192
+
+
+#: ``subsample="auto"`` policy boundary: below this n the subsampled
+#: strategy cannot shrink the per-iteration cost enough to pay for its
+#: extra full-n factorization (the sub-fit would use >~ n/3 of the data).
+AUTO_SUBSAMPLE_THRESHOLD = 3 * LARGE_FIT_THRESHOLD  # 24576
+
+
+def auto_subsample(n: int) -> Optional[int]:
+    """Default subsample-size policy for ``subsample="auto"``.
+
+    Returns ``None`` (full fit) below :data:`AUTO_SUBSAMPLE_THRESHOLD`,
+    else ``max(LARGE_FIT_THRESHOLD, n // 5)``. Rationale (measured,
+    BASELINE.md round 3/4): at n=50k the s=10k sub-fit converges in more
+    iterations but each costs O(s^3) instead of O(n^3), and the final
+    full-n rebuild is the only large factorization — 12.4 s vs 27.1 s
+    with a BETTER final model (the full fit's convergence test stops it
+    early). The full fit remains preferable when (a) exact reference
+    trajectory semantics are required (``optimizer.rs:244-277``), or
+    (b) the dataset is so heterogeneous that a random subset
+    misestimates the lengthscale — see the round-4 sensitivity study in
+    BASELINE.md for the measured scatter across subset sizes and seeds.
+    """
+    if n < AUTO_SUBSAMPLE_THRESHOLD:
+        return None
+    return max(LARGE_FIT_THRESHOLD, n // 5)
 
 
 def fit_kernel_noise(
@@ -242,6 +277,7 @@ def fit_kernel_noise(
     gradient: str = "auto",
     num_probes: int = 8,
     seed: int = 0,
+    sync_every: int = SYNC_EVERY,
 ) -> GPState:
     """Run the ADAM fit until convergence / max_iter / max_time.
 
@@ -256,6 +292,13 @@ def fit_kernel_noise(
     ``"auto"`` (default: exact below :data:`LARGE_FIT_THRESHOLD`,
     streamed above). ``num_probes``/``seed`` configure the Hutchinson
     trace estimator (deterministic for a fixed seed).
+
+    ``sync_every``: cadence of the guarded loop's device->host flag reads
+    (see :data:`SYNC_EVERY`; iteration 1 always syncs). ``max_time`` and
+    Cholesky failures are only observed at sync points, so a tight
+    ``max_time`` contract wants ``sync_every=1`` (per-iteration checks —
+    the reference's behavior, ``optimizer.rs:138``) at the cost of one
+    round-trip per iteration.
     """
     if gradient not in ("auto", "exact", "hutchinson"):
         raise ValueError(f"unknown gradient method {gradient!r}")
@@ -269,6 +312,7 @@ def fit_kernel_noise(
         return fit_kernel_noise_large(
             state, max_iter, convergence_fraction, max_time,
             num_probes=num_probes, seed=seed, fit_log=fit_log,
+            sync_every=sync_every,
         )
     scalable = state.kernel.is_scalable
     kparams = _init_params(state.kernel.get_params())
@@ -283,16 +327,17 @@ def fit_kernel_noise(
     conv = jnp.asarray(convergence_fraction, dtype=params.dtype)
     t0 = time.monotonic()
     if fit_log is None:
-        # guarded loop: enqueue back-to-back, sync every SYNC_EVERY steps
-        # (max_time is then also only checked at sync points; a failed
-        # rebuild raises at the next sync instead of immediately)
+        # guarded loop: enqueue back-to-back, sync every `sync_every`
+        # steps plus iteration 1 (max_time is otherwise only checked at
+        # sync points; a failed rebuild raises at the next sync instead
+        # of immediately)
         done = jnp.asarray(False)
         ok = jnp.asarray(True)
         for i in range(1, max_iter + 1):
             state, adam, done, ok = _guarded_exact_step(
                 state, adam, jnp.asarray(i), conv, done, ok, scalable
             )
-            if i % SYNC_EVERY == 0 or i == max_iter:
+            if _sync_now(i, max_iter, sync_every):
                 if not bool(ok):
                     raise CholeskyError(
                         "Cholesky decomposition failed during "
@@ -363,6 +408,7 @@ def fit_subsampled(
     gradient: str = "auto",
     num_probes: int = 8,
     seed: int = 0,
+    sync_every: int = SYNC_EVERY,
 ) -> GPState:
     """Fit kernel/noise on a RANDOM SUBSET, then one full-n rebuild.
 
@@ -400,7 +446,7 @@ def fit_subsampled(
         sub_state = fit_kernel_noise(
             sub_state, max_iter, convergence_fraction, max_time,
             fit_log=fit_log, gradient=gradient, num_probes=num_probes,
-            seed=seed,
+            seed=seed, sync_every=sync_every,
         )
         state = state.replace(
             kernel=sub_state.kernel, noise=sub_state.noise
@@ -409,7 +455,7 @@ def fit_subsampled(
         return fit_kernel_noise(
             state, max_iter, convergence_fraction, max_time,
             fit_log=fit_log, gradient=gradient, num_probes=num_probes,
-            seed=seed,
+            seed=seed, sync_every=sync_every,
         )
     state, ok = rebuild_cholesky(state, reuse_buffer=True)
     if not bool(ok):
@@ -429,6 +475,7 @@ def fit_parameters(
     num_probes: int = 8,
     seed: int = 0,
     subsample: Optional[int] = None,
+    sync_every: int = SYNC_EVERY,
 ) -> GPState:
     """Full fit dispatch, mirroring ``fit_parameters`` (``mod.rs:406-445``):
     optionally refit the prior (rebuilding the factor if the kernel is not
@@ -436,7 +483,10 @@ def fit_parameters(
     exact parity path or the streamed large-n path — see
     :func:`fit_kernel_noise`; ``subsample`` fits hyperparameters on a
     random subset with one final full-n rebuild — see
-    :func:`fit_subsampled`)."""
+    :func:`fit_subsampled`; pass ``subsample="auto"`` for the measured
+    default policy :func:`auto_subsample`)."""
+    if subsample == "auto":
+        subsample = auto_subsample(int(state.n))
     if fit_prior:
         state = fit_prior_padded(state)
         if not fit_kernel:
@@ -453,13 +503,14 @@ def fit_parameters(
             state = fit_subsampled(
                 state, subsample, max_iter, convergence_fraction, max_time,
                 fit_log=fit_log, gradient=gradient, num_probes=num_probes,
-                seed=seed,
+                seed=seed, sync_every=sync_every,
             )
         else:
             state = fit_kernel_noise(
                 state, max_iter, convergence_fraction, max_time,
                 fit_log=fit_log,
                 gradient=gradient, num_probes=num_probes, seed=seed,
+                sync_every=sync_every,
             )
     return state
 

@@ -144,10 +144,12 @@ def main():
             assert bool(ok)
 
         print(f"  iterations: {iters}", flush=True)
-        print(f"  grad steps  : first={grad_t[0]:.3f}s "
-              f"rest={[round(t, 3) for t in grad_t[1:]]}", flush=True)
-        print(f"  rebuilds    : first={rebuild_t[0]:.3f}s "
-              f"rest={[round(t, 3) for t in rebuild_t[1:]]}", flush=True)
+        if grad_t:
+            print(f"  grad steps  : first={grad_t[0]:.3f}s "
+                  f"rest={[round(t, 3) for t in grad_t[1:]]}", flush=True)
+        if rebuild_t:  # empty when the fit converges on iteration 1
+            print(f"  rebuilds    : first={rebuild_t[0]:.3f}s "
+                  f"rest={[round(t, 3) for t in rebuild_t[1:]]}", flush=True)
         timings["grad_steps_total"] = sum(grad_t)
         timings["rebuilds_total"] = sum(rebuild_t)
         # steady-state per-iteration cost (skip compile-bearing first)

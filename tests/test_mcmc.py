@@ -368,3 +368,33 @@ def test_nuts_chain_batch_must_divide():
             num_chains=6,
             chain_batch=4,
         )
+
+
+def test_nuts_batched_resume_shape_validation():
+    """Batched adaptation rows are consumed positionally; a resume whose
+    batch count disagrees with the saved arrays' leading axis must be
+    rejected, as must batched arrays on an unbatched run (ADVICE r3)."""
+    from friedrich_tpu.mcmc import sample_nuts
+
+    logp = lambda x: -0.5 * x @ x
+    key = jax.random.PRNGKey(0)
+    theta = jnp.zeros((8, 2))
+    ss = jnp.asarray([0.5, 0.6])          # 2 batches worth
+    im = jnp.ones((2, 2))
+
+    # wrong batch count: 8 chains / batch 2 = 4 batches != 2 rows
+    with pytest.raises(ValueError, match="batched step_size"):
+        sample_nuts(logp, theta, key, num_samples=5, num_chains=8,
+                    chain_batch=2, step_size=ss, inv_mass=im)
+    with pytest.raises(ValueError, match="batched inv_mass"):
+        sample_nuts(logp, theta, key, num_samples=5, num_chains=8,
+                    chain_batch=2, step_size=jnp.asarray([0.5] * 4),
+                    inv_mass=im)
+    # batched arrays without chain_batch
+    with pytest.raises(ValueError, match="unbatched"):
+        sample_nuts(logp, theta, key, num_samples=5, num_chains=8,
+                    step_size=ss, inv_mass=im)
+    # correct pairing still works
+    res = sample_nuts(logp, theta, key, num_samples=5, num_chains=8,
+                      chain_batch=4, step_size=ss, inv_mass=im)
+    assert res.samples.shape == (5, 8, 2)

@@ -230,3 +230,110 @@ def test_map_fit_preserves_negative_parameter_signs():
     params = np.asarray(state.kernel.get_params())
     assert params[2] < 0  # Linear.c stays in the negative family
     assert params[0] > 0 and params[1] > 0
+
+
+def test_sync_now_schedule():
+    """Guarded-loop sync points: always iteration 1 (bounds max_time
+    overshoot to one iteration and surfaces an immediately-failing
+    Cholesky fast — ADVICE r3 medium), then the cadence, then the last."""
+    from friedrich_tpu.models.optimizer import SYNC_EVERY, _sync_now
+
+    assert _sync_now(1, 100, SYNC_EVERY)
+    assert not _sync_now(2, 100, SYNC_EVERY)
+    assert not _sync_now(7, 100, SYNC_EVERY)
+    assert _sync_now(8, 100, SYNC_EVERY)
+    assert _sync_now(100, 100, SYNC_EVERY)  # last iteration always syncs
+    # configurable cadence: sync_every=1 syncs everywhere
+    assert all(_sync_now(i, 10, 1) for i in range(1, 11))
+
+
+def test_fit_sync_every_matches_default():
+    """sync_every only changes WHEN flags are read, never the math: a
+    per-iteration-synced fit lands on the same hyperparameters."""
+    import numpy as np
+
+    from friedrich_tpu.kernels import SquaredExp
+    from friedrich_tpu.models.gp import make_state
+    from friedrich_tpu.models.optimizer import fit_kernel_noise
+    from friedrich_tpu.priors import ConstantPrior
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 2)))
+    y = jnp.asarray(np.sin(2.0 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=64))
+    kernel = SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0))
+    state, ok = make_state(kernel, ConstantPrior(jnp.asarray(0.0)), 0.3, x, y)
+    assert bool(ok)
+    a = fit_kernel_noise(state, max_iter=12, gradient="exact")
+    b = fit_kernel_noise(state, max_iter=12, gradient="exact", sync_every=1)
+    np.testing.assert_allclose(
+        np.asarray(a.kernel.get_params()), np.asarray(b.kernel.get_params())
+    )
+    np.testing.assert_allclose(float(a.noise), float(b.noise))
+
+
+def test_auto_subsample_policy():
+    from friedrich_tpu.models.optimizer import (
+        AUTO_SUBSAMPLE_THRESHOLD,
+        LARGE_FIT_THRESHOLD,
+        auto_subsample,
+    )
+
+    assert auto_subsample(1_000) is None
+    assert auto_subsample(AUTO_SUBSAMPLE_THRESHOLD - 1) is None
+    # at the boundary the subset is the floor size
+    assert auto_subsample(AUTO_SUBSAMPLE_THRESHOLD) == LARGE_FIT_THRESHOLD
+    assert auto_subsample(50_000) == 10_000   # the measured round-3 winner
+    assert auto_subsample(100_000) == 20_000
+
+
+def test_fit_subsample_auto_resolves_and_fits():
+    """subsample='auto' resolves via the policy: below the threshold it
+    must take the full-fit path and produce exactly the full fit's
+    hyperparameters."""
+    import numpy as np
+
+    from friedrich_tpu.kernels import SquaredExp
+    from friedrich_tpu.models.gp import make_state
+    from friedrich_tpu.models.optimizer import fit_parameters
+    from friedrich_tpu.priors import ConstantPrior
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(48, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=48))
+    kernel = SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0))
+    state, ok = make_state(kernel, ConstantPrior(jnp.asarray(0.0)), 0.3, x, y)
+    assert bool(ok)
+    a = fit_parameters(state, max_iter=8, subsample="auto")
+    b = fit_parameters(state, max_iter=8, subsample=None)
+    np.testing.assert_allclose(
+        np.asarray(a.kernel.get_params()), np.asarray(b.kernel.get_params())
+    )
+
+
+def test_builder_fit_subsample_knob():
+    """The builder knob reaches train(): an explicit subset size fits on
+    the subset (deterministic seed) and still returns a full-n model."""
+    import numpy as np
+
+    import friedrich_tpu as ft
+    from friedrich_tpu.utils.errors import ConfigError
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(96, 2))
+    y = np.sin(2.0 * x[:, 0]) + 0.1 * rng.normal(size=96)
+    gp = (
+        ft.GaussianProcessBuilder(x, y)
+        .set_noise(0.3)
+        .set_fit_subsample(48)
+        .set_fit_parameters(6, 0.05)
+        .fit_kernel()
+        .fit_prior()
+        .train()
+    )
+    assert gp.num_samples == 96
+    mean = gp.predict(x[:5])
+    assert np.all(np.isfinite(np.asarray(mean)))
+    with pytest.raises(ConfigError):
+        ft.GaussianProcessBuilder(x, y).set_fit_subsample(-3)
+    with pytest.raises(ConfigError):
+        ft.GaussianProcessBuilder(x, y).set_fit_gradient("bogus")
