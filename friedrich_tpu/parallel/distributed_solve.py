@@ -7,14 +7,28 @@ from ``distributed_cholesky_factor``, the predict paths need
     w  = L^-T kl         (mean/weights; ``mod.rs:235``)
 
 Both are blocked substitution sweeps over the same panel structure as the
-factorization, with one psum broadcast of the solved (B, m) block per
-panel — comm = cap x m floats per sweep, all GEMM work local and balanced.
+factorization. The collectives carry only SOLUTION blocks — (B, m)
+psums — never factor rows, so per-sweep ICI traffic is cap x m floats
+forward / 2 cap x m backward (round 4; the round-3 sweeps broadcast the
+owner's (B, cap) L strip every panel, cap^2 per sweep — pinned now by
+``tests/test_comm_volume.py``):
 
-Forward sweep (lower):   y_j = Ld_j^-1 (C_j - sum_{i<j} L[j,i] y_i)
-Backward sweep (lower^T): x_j = Ld_j^-T (y_j - sum_{i>j} L[i,j]^T x_i)
+- Forward sweep (lower), RIGHT-LOOKING: the panel owner solves its
+  (B, B) diagonal block against its locally-downdated rhs rows and
+  psum-broadcasts the solved (B, m) block; every device then downdates
+  its OWN future rhs rows with its local L columns — the downdate GEMM
+  ((local_rows, B) @ (B, m)) is the dominant work and is perfectly
+  row-balanced. One (B, m) psum per panel.
+- Backward sweep (lower^T), LEFT-LOOKING: the contribution
+  ``sum_{r>panel} L[r, j0:j0+B]^T x_r`` is computed shard-locally over
+  each device's rows and psum-reduced ((B, m)); the owner solves its
+  local (B, B) diagonal block transposed and the solved block is
+  psum-broadcast ((B, m)). Two (B, m) psums per panel.
 
-The backward sweep consumes L COLUMN panel j of rows below j — those rows
-are local to each device, so the contribution sum is a psum too.
+The (B, B) diagonal solves run replicated on every device against the
+owner's masked block (garbage elsewhere, discarded by the ownership
+mask before the psum) — redundant O(B^2 m) work instead of a (B, cap)
+broadcast.
 """
 
 from __future__ import annotations
@@ -69,6 +83,11 @@ def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
     broadcasts its rhs block alongside its L rows. Lets callers build
     covariance strips shard-local (n*m/D work per device) instead of
     replicated."""
+    if transposed and rhs_sharded:
+        raise ValueError(
+            "sharded-rhs is only supported on the forward sweep (the "
+            "backward sweep reads the replicated forward solution)"
+        )
     axes = tuple(mesh.axis_names)
     n_dev = mesh.size
     local_rows = cap // n_dev
@@ -82,54 +101,63 @@ def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
         dtype = c_in.dtype
         rank = lax.axis_index(axes)
         row0 = rank * local_rows
+        rows_global = row0 + jnp.arange(local_rows)
 
-        def owner_bcast(arr_local, off, owned, nrows):
-            zeros = tuple(jnp.zeros_like(off) for _ in range(arr_local.ndim - 1))
-            sl = lax.dynamic_slice(
-                arr_local, (off,) + zeros, (nrows,) + arr_local.shape[1:]
+        def local_diag(j0, off):
+            """The (b, b) diagonal block, sliced from each device's LOCAL
+            rows (real on the owner, garbage elsewhere — masked before the
+            psum). Replaces the round-3 (b, cap) owner-row broadcast."""
+            return lax.dynamic_slice(
+                l_local, (jnp.asarray(off, j0.dtype), j0), (b, b)
             )
-            sl = jnp.where(owned, sl, jnp.zeros_like(sl))
-            return lax.psum(sl, axes)
-
-        def rhs_block(j0, owned, off):
-            """(b, m) rhs block for the panel at global row j0."""
-            if rhs_sharded:
-                return owner_bcast(c_in, off, owned, b)
-            return lax.dynamic_slice(c_in, (j0, jnp.zeros_like(j0)), (b, m))
 
         y = jnp.zeros((cap, m), dtype=dtype)
 
         if not transposed:
-            # forward substitution over panels 0..P-1
-            def panel(j, y):
+            # RIGHT-LOOKING forward substitution: each device carries its
+            # local rhs rows, downdated in place as solution blocks land
+            if rhs_sharded:
+                rhs_local = c_in  # already this device's rows
+            else:
+                rhs_local = lax.dynamic_slice(
+                    c_in, (row0, jnp.zeros_like(row0)), (local_rows, m)
+                )
+
+            def panel(j, carry):
+                y, rhs_local = carry
                 j0 = j * b
                 owned = (j0 >= row0) & (j0 < row0 + local_rows)
                 off = jnp.clip(j0 - row0, 0, local_rows - b)
-                # owner's row panel of L: (b, cap)
-                l_rows = owner_bcast(l_local, off, owned, b)
-                # rhs block minus contributions of already-solved blocks:
-                # L[j, :j0] @ y[:j0] — mask columns >= j0 (y rows there are 0)
-                cols = jnp.arange(cap)
-                l_left = jnp.where(cols[None, :] < j0, l_rows, 0.0)
-                rhs = rhs_block(j0, owned, off) - jnp.dot(
-                    l_left, y, preferred_element_type=dtype
+                ld = local_diag(j0, off)
+                rhs_blk = lax.dynamic_slice(
+                    rhs_local, (off, jnp.zeros_like(off)), (b, m)
                 )
-                ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
-                yj = solve_triangular(ld.astype(dtype), rhs, lower=True)
-                return lax.dynamic_update_slice(y, yj, (j0, jnp.zeros_like(j0)))
+                yj = solve_triangular(ld.astype(dtype), rhs_blk, lower=True)
+                # ONE (b, m) psum per panel — the sweep's only collective
+                yj = lax.psum(jnp.where(owned, yj, jnp.zeros_like(yj)), axes)
+                # downdate this device's FUTURE rows with its local L columns
+                l_cols = lax.dynamic_slice(
+                    l_local, (jnp.zeros_like(j0), j0), (local_rows, b)
+                )
+                below = rows_global >= j0 + b
+                rhs_local = rhs_local - jnp.dot(
+                    jnp.where(below[:, None], l_cols, 0.0), yj,
+                    preferred_element_type=dtype,
+                )
+                y = lax.dynamic_update_slice(y, yj, (j0, jnp.zeros_like(j0)))
+                return y, rhs_local
 
-            y = lax.fori_loop(0, num_panels, panel, y)
+            y, _ = lax.fori_loop(0, num_panels, panel, (y, rhs_local))
         else:
-            # backward substitution over panels P-1..0
-            rows_global = row0 + jnp.arange(local_rows)
-
+            # LEFT-LOOKING backward substitution: contributions are
+            # shard-local partial GEMMs, psum-reduced per panel
             def panel(t, y):
                 j = num_panels - 1 - t
                 j0 = j * b
                 owned = (j0 >= row0) & (j0 < row0 + local_rows)
                 off = jnp.clip(j0 - row0, 0, local_rows - b)
                 # contribution sum_{rows r > j0+b-1} L[r, j0:j0+b]^T x_r:
-                # each device's local rows contribute; psum
+                # each device's local rows contribute; psum ((b, m))
                 l_colpanel = lax.dynamic_slice(
                     l_local, (jnp.zeros_like(j0), j0), (local_rows, b)
                 )  # (local_rows, b) = L[local rows, j0:j0+b]
@@ -142,10 +170,13 @@ def _build_solve_program(mesh, cap, m, b, transposed, rhs_sharded=False):
                     jnp.dot(l_below.T, y_local, preferred_element_type=dtype),
                     axes,
                 )
-                rhs = rhs_block(j0, owned, off) - contrib
-                l_rows = owner_bcast(l_local, off, owned, b)
-                ld = lax.dynamic_slice(l_rows, (jnp.zeros_like(j0), j0), (b, b))
+                rhs = lax.dynamic_slice(
+                    c_in, (j0, jnp.zeros_like(j0)), (b, m)
+                ) - contrib
+                ld = local_diag(j0, off)
                 xj = solve_triangular(ld.astype(dtype), rhs, lower=True, trans=1)
+                # second (b, m) psum: broadcast the owner's solved block
+                xj = lax.psum(jnp.where(owned, xj, jnp.zeros_like(xj)), axes)
                 return lax.dynamic_update_slice(y, xj, (j0, jnp.zeros_like(j0)))
 
             y = lax.fori_loop(0, num_panels, panel, y)

@@ -25,22 +25,9 @@ from friedrich_tpu.parallel.distributed_cholesky import _build_factor_program
 CAP, BLOCK, D = 64, 8, 4
 
 
-def _lowered_allreduce_shapes(storage=None):
-    """Lower (without executing) the shard_map factorization and extract
-    every all-reduce operand shape + dtype from the stablehlo text."""
-    devices = jax.devices()[:8]
-    mesh = Mesh(np.array(devices), ("r",))
-    kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
-    leaves, treedef = jax.tree_util.tree_flatten(kern)
-    fn = _build_factor_program(
-        mesh, treedef, len(leaves), CAP, D, BLOCK, None, "gram", storage
-    )
-    x = jnp.zeros((CAP, D), jnp.float32)
-    lowered = fn.lower(
-        x, jnp.asarray([CAP], jnp.int32), jnp.asarray([0.5], jnp.float32),
-        *[jnp.asarray(v, jnp.float32) for v in leaves],
-    )
-    lines = lowered.as_text().splitlines()
+def _allreduce_shapes_from_text(text: str):
+    """Extract every all-reduce operand shape + dtype from stablehlo text."""
+    lines = text.splitlines()
     # the stablehlo.all_reduce op carries its operand type a few lines
     # below (after the reduction-region block):  `}) : (tensor<8x64xf32>)`
     shapes = []
@@ -59,6 +46,27 @@ def _lowered_allreduce_shapes(storage=None):
                 break
     assert shapes, "no all_reduce ops found in the lowered program"
     return shapes
+
+
+def _mesh8():
+    return Mesh(np.array(jax.devices()[:8]), ("r",))
+
+
+def _lowered_allreduce_shapes(storage=None):
+    """Lower (without executing) the shard_map factorization and extract
+    every all-reduce operand shape + dtype from the stablehlo text."""
+    mesh = _mesh8()
+    kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+    leaves, treedef = jax.tree_util.tree_flatten(kern)
+    fn = _build_factor_program(
+        mesh, treedef, len(leaves), CAP, D, BLOCK, None, "gram", storage
+    )
+    x = jnp.zeros((CAP, D), jnp.float32)
+    lowered = fn.lower(
+        x, jnp.asarray([CAP], jnp.int32), jnp.asarray([0.5], jnp.float32),
+        *[jnp.asarray(v, jnp.float32) for v in leaves],
+    )
+    return _allreduce_shapes_from_text(lowered.as_text())
 
 
 @pytest.fixture(scope="module")
@@ -113,3 +121,99 @@ class TestOnePsumPerPanelContract:
             f"bf16 storage must broadcast the row strip in bf16, got "
             f"{dominant[0][1]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Distributed triangular solves (round 4): the sweeps' collectives carry
+# only SOLUTION blocks — (block, m) psums — never factor rows, so a sweep
+# costs cap*m (forward) / 2*cap*m (backward) floats over ICI regardless
+# of device count. The round-3 sweeps broadcast the owner's (block, cap)
+# L strip per panel (cap^2 per sweep); these tests make that regression
+# impossible to reintroduce silently (VERDICT r3 #7).
+# ---------------------------------------------------------------------------
+
+M = 5  # rhs columns
+
+
+def _lowered_solve_shapes(transposed, rhs_sharded=False, m=M):
+    from friedrich_tpu.parallel.distributed_solve import _build_solve_program
+
+    fn = _build_solve_program(_mesh8(), CAP, m, BLOCK, transposed, rhs_sharded)
+    l_mat = jnp.zeros((CAP, CAP), jnp.float32)
+    c = jnp.zeros((CAP, m), jnp.float32)
+    return _allreduce_shapes_from_text(fn.lower(l_mat, c).as_text())
+
+
+class TestSolveCommContract:
+    def test_forward_one_solution_psum_per_panel(self):
+        shapes = _lowered_solve_shapes(transposed=False)
+        assert shapes == [((BLOCK, M), "f32")], (
+            f"forward sweep must psum exactly one (block, m) solved block "
+            f"per panel and nothing else, got {shapes}"
+        )
+
+    def test_forward_sharded_rhs_same_contract(self):
+        shapes = _lowered_solve_shapes(transposed=False, rhs_sharded=True)
+        assert shapes == [((BLOCK, M), "f32")], shapes
+
+    def test_backward_two_solution_psums_per_panel(self):
+        shapes = _lowered_solve_shapes(transposed=True)
+        assert shapes == [((BLOCK, M), "f32")] * 2, (
+            f"backward sweep: one contribution psum + one solved-block "
+            f"psum, both (block, m), got {shapes}"
+        )
+
+    def test_no_collective_scales_with_cap(self):
+        for transposed in (False, True):
+            for shape, _ in _lowered_solve_shapes(transposed):
+                assert CAP not in shape, (
+                    f"solve collective {shape} scales with cap — the "
+                    f"sweep comm model (cap*m per sweep) is broken"
+                )
+
+
+class TestFitStepCommContract:
+    """One distributed fit iteration (LargeScaleGP._make_fit_step): the
+    per-iteration ICI traffic is the refactorization's cap^2 floats (one
+    (block, cap) strip psum per panel) plus O(block * probes) solve
+    psums — nothing else may scale with cap (VERDICT r3 #7)."""
+
+    def _lowered_step_shapes(self):
+        import friedrich_tpu.priors as fp
+        from friedrich_tpu.models.optimizer import AdamState
+        from friedrich_tpu.parallel.large_scale import LargeScaleGP
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(CAP, D)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(CAP,)), jnp.float32)
+        kern = fk.SquaredExp(ls=jnp.float32(1.0), ampl=jnp.float32(1.0))
+        gp = LargeScaleGP(
+            _mesh8(), kern, fp.ZeroPrior(), 0.5, x, y, block=BLOCK
+        )
+        step = gp._make_fit_step(scaled=True, convergence_fraction=0.05)
+        params = gp.kernel.get_params()
+        adam = AdamState(
+            params=params, m=jnp.zeros_like(params), v=jnp.zeros_like(params)
+        )
+        probes = gp._probes(4, 0)
+        lowered = step.lower(
+            gp.l_sharded, gp.kernel, gp.noise, gp.resid, adam, probes,
+            jnp.asarray(1),
+        )
+        return _allreduce_shapes_from_text(lowered.as_text())
+
+    def test_one_dominant_strip_psum_and_bounded_sides(self):
+        shapes = self._lowered_step_shapes()
+        dominant = [s for s, _ in shapes if s == (BLOCK, CAP)]
+        assert len(dominant) == 1, (
+            f"expected exactly the refactorization's one (block, cap) "
+            f"strip psum per panel, got {dominant} among {shapes}"
+        )
+        for shape, _ in shapes:
+            if shape == (BLOCK, CAP):
+                continue
+            elems = int(np.prod(shape)) if shape else 1
+            assert elems <= BLOCK * BLOCK, (
+                f"fit-step side collective {shape} exceeds O(block^2) — "
+                f"the per-iteration comm model is broken"
+            )
