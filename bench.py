@@ -40,6 +40,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from friedrich_tpu.config import enable_compile_cache
+
+# persistent compile cache: first compiles of the unrolled panel programs
+# are minutes-long over the remote helper; the timed numbers below always
+# exclude compile (second run / post-warmup), the cache only shortens the
+# untimed warmup
+enable_compile_cache()
+
 
 def bench_build_factor(n: int, d: int = 8, repeats: int = 3) -> float:
     """Time ``GaussianProcess.new(..., backend="streamed")`` — the public

@@ -109,8 +109,11 @@ def make_hyperparam_logprob(
             with jax.default_matmul_precision(mode):
                 return base(theta)
 
+        logp_scoped.gp_n = int(state.capacity)
         return logp_scoped
-    return _make_dense_logprob_impl(state, prior_mu, prior_sigma, signs)
+    fn = _make_dense_logprob_impl(state, prior_mu, prior_sigma, signs)
+    fn.gp_n = int(state.capacity)
+    return fn
 
 
 def _make_dense_logprob_impl(
@@ -301,6 +304,13 @@ def make_streamed_hyperparam_logprob(
         return (g * grad_theta,)
 
     logp.defvjp(logp_fwd, logp_bwd)
+    # custom_vjp wrappers forward attribute writes to the wrapped fn via
+    # functools.wraps semantics only at trace time; stash the envelope
+    # hint on the object the caller actually holds
+    try:
+        logp.gp_n = int(state.capacity)
+    except AttributeError:  # custom_vjp objects accept attributes; belt
+        pass
     return logp
 
 

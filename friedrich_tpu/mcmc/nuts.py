@@ -40,6 +40,35 @@ Array = jnp.ndarray
 
 MAX_DELTA_ENERGY = 1000.0
 
+#: Measured safe (vmapped chains x GP capacity) product per TPU program
+#: (BASELINE.md round 3, one v5e chip: 8 chains x n=4096 and 4 x 8192 and
+#: 2 x 16384 run; 16 x 4096 and 8 x 8192 fault with an opaque TPU-runtime
+#: kernel error, not a clean OOM). ``sample_nuts`` auto-batches requests
+#: above this envelope into sequential program launches.
+TPU_CHAIN_ENVELOPE = 32768
+
+
+def _auto_chain_batch(logp, num_chains: int):
+    """Per-program chain width for the measured TPU envelope, or None.
+
+    Applies only when the density advertises its GP size (``logp.gp_n``,
+    set by the ``make_*_hyperparam_logprob`` factories) and the default
+    backend is an accelerator; picks the largest divisor of
+    ``num_chains`` whose program stays inside ``TPU_CHAIN_ENVELOPE``.
+    """
+    gp_n = getattr(logp, "gp_n", None)
+    if gp_n is None or num_chains <= 1:
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    limit = max(1, TPU_CHAIN_ENVELOPE // int(gp_n))
+    if num_chains <= limit:
+        return None
+    for c in range(limit, 0, -1):
+        if num_chains % c == 0:
+            return c
+    return 1
+
 
 class NUTSResult(NamedTuple):
     samples: Array  # (num_samples, chains, dim)
@@ -298,7 +327,13 @@ def sample_nuts(
     sizes (measured: >=16 chains x n=4096 with the streamed density —
     BASELINE.md round 3); batching keeps each program inside that
     envelope while every batch reuses the same compiled executable
-    (identical shapes). Each batch warms up independently — its own
+    (identical shapes). ``None`` (default) auto-selects: when the density
+    was built by a ``make_*_hyperparam_logprob`` factory (which stamps
+    its GP size on the function) and the request exceeds the measured
+    envelope ``chains x n <= TPU_CHAIN_ENVELOPE`` on an accelerator
+    backend, the largest fitting divisor of ``num_chains`` is used —
+    otherwise the run is unbatched. Pass ``num_chains`` explicitly to
+    force a single program. Each batch warms up independently — its own
     pooled step size/mass — so the batched result's ``step_size`` /
     ``inv_mass`` carry a leading batch axis; resume by passing them back
     with the SAME ``chain_batch`` (rows are consumed per batch). Warmup
@@ -308,6 +343,8 @@ def sample_nuts(
     """
     pool_mean = pool_mean or (lambda v: v)
     pool_sum = pool_sum or (lambda v: v)
+    if chain_batch is None:
+        chain_batch = _auto_chain_batch(logp, num_chains)
     if chain_batch is not None and num_chains > chain_batch:
         if num_chains % chain_batch != 0:
             raise ValueError(

@@ -60,6 +60,13 @@ def _sharded(sampler_fn, mesh: Mesh, logp: Callable, init_theta: Array,
     pool_mean = lambda v: lax.pmean(v, axes)  # noqa: E731
     pool_sum = lambda v: lax.psum(v, axes)  # noqa: E731
 
+    # inside shard_map each device runs local_chains chains as ONE program
+    # (pooled adaptation must stay a replicated scalar — the sequential
+    # chain_batch path would add a leading batch axis and break the
+    # out_specs below); disable sample_nuts' envelope auto-batching unless
+    # the caller explicitly asked for batching
+    kwargs.setdefault("chain_batch", local_chains)
+
     def body(theta_local, keys_local):
         return sampler_fn(
             logp,

@@ -242,6 +242,9 @@ class GaussianProcessBuilder:
         kernel = self._kernel
         if self._should_fit_kernel:
             kernel = kernel.heuristic_fit(x, y)
+            sub = self._resolved_subsample(x.shape[0])
+            if sub is not None:
+                return self._train_subfit_first(x, y, kernel, sub)
         gp = GaussianProcess.new(
             self._prior,
             kernel,
@@ -265,6 +268,87 @@ class GaussianProcessBuilder:
                 convergence_fraction=self._convergence_fraction,
                 max_time=self._max_time,
                 gradient=self._fit_gradient,
-                subsample=self._fit_subsample,
             )
         return gp
+
+    def _resolved_subsample(self, n: int):
+        """The effective sub-fit size for train(), or None for the
+        reference flow."""
+        sub = self._fit_subsample
+        if sub == "auto":
+            from .optimizer import auto_subsample
+
+            sub = auto_subsample(n)
+        if sub is not None and sub >= n:
+            sub = None
+        return sub
+
+    def _train_subfit_first(self, x, y, kernel, sub: int) -> GaussianProcess:
+        """Subsampled training flow: fit hyperparameters on the subset
+        FIRST, then build the full-n model exactly ONCE at the fitted
+        parameters.
+
+        The reference order (construct at heuristic parameters, then fit —
+        ``builder.rs:189-214``) pays an initial full-n factorization whose
+        only purpose is to be thrown away by the first fit rebuild; at
+        bf16-storage sizes that heuristic-lengthscale factorization is not
+        even inside the storage envelope (K densely correlated, BASELINE.md
+        round 3), so building it first would fail outright. Order here:
+
+        1. prior fitted on the FULL data (kernel-independent: mean /
+           least-squares — ``prior.rs:93-98,143-148``), matching the
+           reference's prior-before-kernel order inside ``fit_parameters``
+           (``mod.rs:414-421``);
+        2. kernel + noise fitted on a fixed-seed random subset via a
+           plain f32-storage sub-model (``precision`` inherited; a
+           bf16-storage parent defaults the sub-model to ``"f32"`` —
+           the multi-pass remedy the heuristic-init subset factorization
+           needs, which bf16 storage itself cannot express);
+        3. ONE full-n build at the fitted hyperparameters with every
+           storage/precision/backend knob of this builder.
+        """
+        import jax
+
+        n = x.shape[0]
+        prior = self._prior
+        if self._should_fit_prior:
+            prior = prior.fit(x, y)
+        idx = jnp.sort(jax.random.permutation(jax.random.PRNGKey(0), n)[:sub])
+        sub_precision = self._precision
+        if sub_precision is None and self._storage == "bf16":
+            sub_precision = "f32"
+        sub_gp = GaussianProcess.new(
+            prior,
+            kernel,
+            self._noise,
+            self._cholesky_epsilon,
+            x[idx],
+            y[idx],
+            method=self._method,
+            backend="auto",
+            dtype=self._dtype,
+            precision=sub_precision,
+        )
+        sub_gp.fit_parameters(
+            fit_prior=False,
+            fit_kernel=True,
+            max_iter=self._max_iter,
+            convergence_fraction=self._convergence_fraction,
+            max_time=self._max_time,
+            gradient=self._fit_gradient,
+        )
+        return GaussianProcess.new(
+            prior,
+            sub_gp.kernel,
+            sub_gp.noise,
+            self._cholesky_epsilon,
+            x,
+            y,
+            method=self._method,
+            capacity=self._capacity,
+            backend=self._backend,
+            storage=self._storage,
+            dtype=self._dtype,
+            panel_block=self._panel_block,
+            precision=self._precision,
+        )

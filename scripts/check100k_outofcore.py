@@ -19,6 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from friedrich_tpu.config import enable_compile_cache, honor_platform_env
+
+honor_platform_env()  # JAX_PLATFORMS=cpu smoke runs (CI / no chip)
+enable_compile_cache()
+
 import friedrich_tpu.kernels as fk
 from friedrich_tpu.ops.outofcore import (
     outofcore_cholesky_factor,

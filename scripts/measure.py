@@ -37,6 +37,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from friedrich_tpu.config import enable_compile_cache, honor_platform_env
+
+honor_platform_env()  # JAX_PLATFORMS=cpu smoke runs (CI / no chip)
+enable_compile_cache()
+
 
 def timeit(f, *a, r=3):
     jax.block_until_ready(f(*a))
@@ -196,17 +201,11 @@ def exp_fit(args):
             b = b.set_factor_storage(args.storage)
         with _scope():
             if args.subsample:
-                # heuristic + build, then the subsampled fit strategy
-                kern = fk.Gaussian().heuristic_fit(
-                    jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
-                )
-                gp = b.set_kernel(kern).train()
-                gp.fit_parameters(
-                    fit_prior=True, fit_kernel=True,
-                    max_iter=args.max_iter, convergence_fraction=0.05,
-                    subsample=args.subsample,
-                )
-                return gp
+                # builder sub-fit-first flow: hyperparameters fitted on
+                # the subset FIRST, then exactly ONE full-n factorization
+                # at the fitted parameters (round 4; the round-3 flow
+                # paid an extra full-n build at heuristic params)
+                b = b.set_fit_subsample(args.subsample)
             b = (
                 b.fit_kernel().fit_prior()
                 .set_fit_parameters(args.max_iter, 0.05)
@@ -397,11 +396,21 @@ def exp_predict(args):
 
 
 def exp_nuts(args):
-    """NUTS transitions/s per chip on an exact-LML GP hyperparameter
-    posterior (the BASELINE samples/s headline)."""
+    """NUTS on an exact-LML GP hyperparameter posterior: transitions/s AND
+    ESS/s per chip (the BASELINE samples/s headline is an effective rate,
+    not a transition count), with split R-hat as the validity gate.
+
+    ``--eps`` builds the GP state with that ``cholesky_epsilon``; the
+    density's factorization substitutes failing pivots with it, so the
+    cheap MXU modes (ambient 1-pass / f32x3 3-pass) stay finite in the
+    long-lengthscale region that otherwise makes every trajectory diverge
+    (BASELINE.md round 3). Choose it at the documented error scale
+    ``~ n * 2^-15 * ampl^2`` — machine-small values cascade."""
     import friedrich_tpu.kernels as fk
     import friedrich_tpu.priors as fp
-    from friedrich_tpu.mcmc import initial_theta, make_hyperparam_logprob
+    from friedrich_tpu.mcmc import (
+        ess, initial_theta, make_hyperparam_logprob, rhat,
+    )
     from friedrich_tpu.mcmc.nuts import sample_nuts
     from friedrich_tpu.models import gp as core
 
@@ -411,7 +420,10 @@ def exp_nuts(args):
     xg = jnp.asarray(rng.normal(size=(ngp, 4)), dtype)
     yg = jnp.sin(xg[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=(ngp,)), dtype)
     kern = fk.SquaredExp(ls=jnp.asarray(1.0, dtype), ampl=jnp.asarray(1.0, dtype))
-    state, _ = core.make_state(kern, fp.ZeroPrior(), jnp.asarray(0.2, dtype), xg, yg)
+    eps = jnp.asarray(args.eps, dtype) if args.eps else None
+    state, _ = core.make_state(
+        kern, fp.ZeroPrior(), jnp.asarray(0.2, dtype), xg, yg, eps=eps
+    )
     prec = None if args.precision == "ambient" else args.precision
     logp = make_hyperparam_logprob(
         state, precision=prec, backend=args.logprob_backend
@@ -433,14 +445,23 @@ def exp_nuts(args):
             res = run(jax.random.PRNGKey(1))
             jax.block_until_ready(res.samples)
             t_run = time.perf_counter() - t1
+            # effective rate: worst-parameter ESS over the post-warmup
+            # draws, divided by the FULL run wall-clock (warmup included —
+            # that is what a user pays for those effective samples)
+            ess_min = float(jnp.min(ess(res.samples)))
+            rhat_max = float(jnp.max(rhat(res.samples)))
             emit(
                 exp="nuts_gp", n=ngp, chains=chains,
                 chain_batch=args.chain_batch,
                 precision=args.precision,
+                eps=args.eps,
                 logprob_backend=args.logprob_backend,
                 transitions=chains * (warm + num),
                 run_seconds=round(t_run, 3),
                 transitions_per_sec=round(chains * (warm + num) / t_run, 1),
+                ess_min=round(ess_min, 1),
+                ess_per_sec=round(ess_min / t_run, 2),
+                rhat_max=round(rhat_max, 4),
                 mean_depth=round(float(jnp.mean(res.tree_depth)), 2),
                 div_rate=round(float(jnp.mean(res.divergent)), 4),
             )

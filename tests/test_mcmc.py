@@ -398,3 +398,56 @@ def test_nuts_batched_resume_shape_validation():
     res = sample_nuts(logp, theta, key, num_samples=5, num_chains=8,
                       chain_batch=4, step_size=ss, inv_mass=im)
     assert res.samples.shape == (5, 8, 2)
+
+
+def test_auto_chain_batch_envelope_policy(monkeypatch):
+    """sample_nuts auto-batches above the measured TPU envelope: the
+    density factories stamp their GP size on the function, and on an
+    accelerator backend a request exceeding chains x n <=
+    TPU_CHAIN_ENVELOPE splits into the largest fitting divisor."""
+    from friedrich_tpu.mcmc import make_hyperparam_logprob
+    from friedrich_tpu.mcmc.nuts import _auto_chain_batch
+    from friedrich_tpu.models import gp as core
+    import friedrich_tpu.kernels as fk
+    import friedrich_tpu.priors as fp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(48, 2)))
+    y = jnp.sin(x[:, 0])
+    kern = fk.SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0))
+    state, _ = core.make_state(kern, fp.ZeroPrior(), jnp.asarray(0.2), x, y)
+    for backend in ("dense", "streamed"):
+        logp = make_hyperparam_logprob(state, backend=backend)
+        assert getattr(logp, "gp_n", None) == state.capacity
+    logp_prec = make_hyperparam_logprob(state, backend="dense",
+                                        precision="f32")
+    assert logp_prec.gp_n == state.capacity
+
+    # CPU backend: never auto-batch
+    assert _auto_chain_batch(logp_prec, 64) is None
+
+    # simulate an accelerator backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    logp = make_hyperparam_logprob(state, backend="dense")
+    logp.gp_n = 4096
+    # envelope 32768: limit = 8 chains per program at n=4096
+    assert _auto_chain_batch(logp, 16) == 8
+    assert _auto_chain_batch(logp, 8) is None      # inside envelope
+    assert _auto_chain_batch(logp, 12) == 6        # largest divisor <= 8
+    logp.gp_n = 16384
+    assert _auto_chain_batch(logp, 16) == 2        # limit = 2
+    logp.gp_n = 65536
+    assert _auto_chain_batch(logp, 7) == 1         # limit = 1, prime chains
+    # densities without the stamp (user-supplied logp): no auto-batching
+    assert _auto_chain_batch(lambda t: -t @ t, 64) is None
+
+    # end-to-end: auto-batching engages (2 batches) and returns per-batch
+    # adaptation with a leading batch axis
+    from friedrich_tpu.mcmc import sample_nuts
+
+    toy = lambda t: -0.5 * t @ t
+    toy.gp_n = 32768  # limit = 1 chain per program
+    res = sample_nuts(toy, jnp.zeros(2), jax.random.PRNGKey(0),
+                      num_warmup=15, num_samples=10, num_chains=2)
+    assert res.samples.shape == (10, 2, 2)
+    assert res.step_size.shape == (2,)

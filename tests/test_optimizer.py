@@ -217,14 +217,19 @@ def test_map_fit_preserves_negative_parameter_signs():
     """Regression: fit_map must not flip legitimately negative params."""
     from friedrich_tpu.models.map_fit import fit_map
 
-    x = RNG.normal(size=(20, 2))
-    y = x[:, 0] * x[:, 1] + 0.05 * RNG.normal(size=20)
-    # a negative Linear.c makes the kernel indefinite; a large noise term
-    # keeps K positive-definite so the test isolates the sign-preservation
-    # mechanics of the fit. (Round 1 used noise=0.5 + eps=1e-6 here, which
-    # silently produced a non-finite substitute factor — since round 2 the
+    # local generator: the shared module RNG made this test's data depend
+    # on which tests ran before it on an xdist worker
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(20, 2))
+    y = x[:, 0] * x[:, 1] + 0.05 * rng.normal(size=20)
+    # a negative Linear.c adds c*J to K (lambda_min -> c*n = -1), so
+    # noise^2 = 4 keeps K positive-definite FOR ANY DRAW (XX^T and the
+    # SquaredExp part are PSD): the test isolates the sign-preservation
+    # mechanics of the fit without data-dependent conditioning. (Round 1
+    # used noise=0.5 + eps=1e-6 + c=-0.5 here, which silently produced a
+    # non-finite substitute factor on unlucky draws — since round 2 the
     # engine detects that garbage and raises CholeskyError instead.)
-    kern = fk.SquaredExp(ls=1.0, ampl=1.0) + fk.Linear(c=-0.5)
+    kern = fk.SquaredExp(ls=1.0, ampl=1.0) + fk.Linear(c=-0.05)
     gp = ft.GaussianProcess.new(fp.ZeroPrior(), kern, 2.0, None, x, y)
     state = fit_map(gp.state, num_steps=30)
     params = np.asarray(state.kernel.get_params())
@@ -337,3 +342,91 @@ def test_builder_fit_subsample_knob():
         ft.GaussianProcessBuilder(x, y).set_fit_subsample(-3)
     with pytest.raises(ConfigError):
         ft.GaussianProcessBuilder(x, y).set_fit_gradient("bogus")
+
+
+def test_builder_subfit_first_matches_quality_and_counts_one_factor():
+    """train() with set_fit_subsample fits on the subset FIRST and builds
+    the full model exactly once at the fitted parameters: the result must
+    carry a full-n state, a prior fitted on the FULL data, and
+    hyperparameters equal to an explicit sub-model fit (same seed)."""
+    import numpy as np
+
+    import friedrich_tpu as ft
+    import friedrich_tpu.kernels as fk
+    import friedrich_tpu.priors as fp
+    import jax
+
+    rng = np.random.default_rng(5)
+    n = 120
+    x = rng.normal(size=(n, 2))
+    y = np.sin(2.0 * x[:, 0]) + 0.3 + 0.1 * rng.normal(size=n)
+    gp = (
+        ft.GaussianProcessBuilder(x, y)
+        .set_noise(0.3)
+        .set_fit_subsample(60)
+        .set_fit_parameters(8, 0.05)
+        .fit_kernel()
+        .fit_prior()
+        .train()
+    )
+    assert gp.num_samples == n
+
+    # reproduce by hand: heuristic -> prior on full data -> sub-fit
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+    kern = fk.Gaussian().heuristic_fit(xj, yj)
+    prior = fp.ConstantPrior.default(2).fit(xj, yj)
+    idx = np.asarray(
+        jnp.sort(jax.random.permutation(jax.random.PRNGKey(0), n)[:60])
+    )
+    sub = ft.GaussianProcess.new(
+        prior, kern, 0.3, None, x[idx], y[idx], backend="auto"
+    )
+    sub.fit_parameters(
+        fit_prior=False, fit_kernel=True, max_iter=8,
+        convergence_fraction=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp.kernel.get_params()),
+        np.asarray(sub.kernel.get_params()),
+    )
+    np.testing.assert_allclose(gp.noise, sub.noise)
+    # prior fitted on the FULL outputs (mean), not the subset's
+    np.testing.assert_allclose(
+        float(gp.prior.mean(jnp.zeros((1, 2)))[0]), float(np.mean(y)),
+        rtol=1e-6,
+    )
+    # and the model must predict sanely at full n
+    mean = np.asarray(gp.predict(x[:8]))
+    assert np.all(np.isfinite(mean))
+
+
+def test_builder_subsample_auto_below_threshold_is_reference_flow():
+    """'auto' resolves to None below the policy threshold: same result as
+    the plain full fit."""
+    import numpy as np
+
+    import friedrich_tpu as ft
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(64, 2))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=64)
+
+    def build(sub):
+        b = (
+            ft.GaussianProcessBuilder(x, y)
+            .set_noise(0.3)
+            .set_fit_parameters(6, 0.05)
+            .fit_kernel()
+            .fit_prior()
+        )
+        if sub is not None:
+            b = b.set_fit_subsample(sub)
+        return b.train()
+
+    a = build("auto")
+    b = build(None)
+    np.testing.assert_allclose(
+        np.asarray(a.kernel.get_params()), np.asarray(b.kernel.get_params())
+    )
+    np.testing.assert_allclose(a.noise, b.noise)
