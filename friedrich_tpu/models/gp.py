@@ -21,6 +21,7 @@ covariance.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -161,6 +162,34 @@ def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
     return factor(k_pad, eps)
 
 
+def _make_state_fused_body(kernel, prior, x, y, n_arr, noise, l0, *, cap,
+                           eps, method, backend, storage, block, precision):
+    """Fused state construction (see :func:`make_state`): one dispatch."""
+    resid = y - prior.mean(x)
+    x_pad, r_pad = pad_capacity(x, resid, cap)
+    l_pad, ok = _build_factor(
+        kernel, x_pad, n_arr, noise, eps, method, backend, l0=l0,
+        storage=storage, block=block, precision=precision,
+    )
+    return x_pad, r_pad, l_pad, ok
+
+
+_FUSED_STATICS = (
+    "cap", "eps", "method", "backend", "storage", "block", "precision",
+)
+#: Streamed variant: the caller allocates the (cap, cap) zeros workspace
+#: and DONATES it, so the factor's unrolled update-slice chain aliases
+#: that buffer (single-factor HBM discipline — without donation a second
+#: live L OOMs a 16 GB chip at n=50k f32, measured round 2/4).
+_make_state_fused_streamed = partial(
+    jax.jit, static_argnames=_FUSED_STATICS, donate_argnums=(6,)
+)(_make_state_fused_body)
+#: Dense variant: no workspace (the monolithic cholesky sizes itself).
+_make_state_fused_dense = partial(
+    jax.jit, static_argnames=_FUSED_STATICS
+)(_make_state_fused_body)
+
+
 def make_state(
     kernel,
     prior,
@@ -191,13 +220,44 @@ def make_state(
             f"capacity {cap} is smaller than the number of training "
             f"samples {n}"
         )
-    resid = y - prior.mean(x)
-    x_pad, r_pad = pad_capacity(x, resid, cap)
     n_arr = jnp.asarray(n, dtype=jnp.int32)
-    l_pad, ok = _build_factor(
-        kernel, x_pad, n_arr, noise, eps, method, backend, storage=storage,
-        block=block, precision=precision,
-    )
+    # static jit args must hash: scalar eps -> float, list schedule -> tuple
+    eps = float(eps) if eps is not None else None
+    if isinstance(block, list):
+        block = tuple(block)
+    resolved = backend
+    if resolved == "auto":
+        resolved = "streamed" if cap > _AUTO_LARGE_THRESHOLD else "dense"
+    if resolved in ("dense", "streamed"):
+        # ONE program for residualize + pad + build + factor: each eager
+        # dispatch is a full runtime round trip (expensive over a remote
+        # TPU link). The streamed variant threads a DONATED zeros
+        # workspace to the factor chain (see _make_state_fused_streamed).
+        noise_arr = jnp.asarray(noise, dtype=x.dtype)
+        if resolved == "streamed":
+            from ..ops.streamed import STORAGE_DTYPES
+
+            l0 = jnp.zeros(
+                (cap, cap), dtype=STORAGE_DTYPES[storage] or x.dtype
+            )
+            x_pad, r_pad, l_pad, ok = _make_state_fused_streamed(
+                kernel, prior, x, y, n_arr, noise_arr, l0,
+                cap=cap, eps=eps, method=method, backend=resolved,
+                storage=storage, block=block, precision=precision,
+            )
+        else:
+            x_pad, r_pad, l_pad, ok = _make_state_fused_dense(
+                kernel, prior, x, y, n_arr, noise_arr, None,
+                cap=cap, eps=eps, method=method, backend=resolved,
+                storage=storage, block=block, precision=precision,
+            )
+    else:
+        resid = y - prior.mean(x)
+        x_pad, r_pad = pad_capacity(x, resid, cap)
+        l_pad, ok = _build_factor(
+            kernel, x_pad, n_arr, noise, eps, method, backend,
+            storage=storage, block=block, precision=precision,
+        )
     state = GPState(
         x=x_pad,
         resid=r_pad,

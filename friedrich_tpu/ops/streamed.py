@@ -164,7 +164,7 @@ def _train_cov_panel_tail(kernel, x_tail, xj, j0, n, noise, block, method):
 )
 def _streamed_unrolled_impl(
     leaves, treedef, x_pad, n, noise, eps, block, method, fused=False,
-    precision=None, storage=None, solve_blocks=1, diag_blocks=1,
+    precision=None, storage=None, solve_blocks=1, diag_blocks=1, l0=None,
 ):
     """FLOP-optimal fused build+factor: the panel loop unrolls at TRACE
     time, so every column strip has a STATIC height ``cap - j0``.
@@ -189,8 +189,20 @@ def _streamed_unrolled_impl(
     remote TPU compiler comfortable.
     """
     kernel = jax.tree_util.tree_unflatten(treedef, leaves)
-    l_full = jnp.zeros(
-        (x_pad.shape[0],) * 2, dtype=STORAGE_DTYPES[storage] or x_pad.dtype
+    # ``l0``: workspace buffer threaded from an OUTER jit whose top-level
+    # signature donates it (e.g. the fused state constructor) — the
+    # update-slice chain then aliases that buffer instead of forcing XLA
+    # to keep a second live factor (which OOMs a 16 GB chip at n=50k f32;
+    # see _streamed_unrolled_donate). Must be (cap, cap) zeros in the
+    # storage dtype with a zero strict upper triangle.
+    store_dtype = STORAGE_DTYPES[storage] or x_pad.dtype
+    if l0 is not None and l0.dtype != store_dtype:
+        raise ValueError(
+            f"workspace buffer dtype {l0.dtype} does not match the factor "
+            f"storage dtype {store_dtype}"
+        )
+    l_full = l0 if l0 is not None else jnp.zeros(
+        (x_pad.shape[0],) * 2, dtype=store_dtype
     )
     with _precision_scope(precision):
         return _unrolled_body(
@@ -510,11 +522,15 @@ def streamed_cholesky_factor(
     ) or isinstance(n, jax.core.Tracer):
         # inside an outer jit/vmap (ANY traced operand — e.g. an MCMC
         # density traces noise/kernel params while the inputs stay closure
-        # constants) the call inlines: donation is meaningless and the
-        # result is a temp, which XLA aliases in place anyway
+        # constants) the call inlines. A traced ``l0`` threads through as
+        # the chain's workspace so an outer jit that DONATES it at its own
+        # top level (the fused state constructor) keeps the single-factor
+        # HBM discipline; without one the result is a temp whose aliasing
+        # is up to XLA (fine for small/medium n, OOMs at n=50k f32).
         return _streamed_unrolled_impl(
             *args, fused=fused, precision=precision, storage=storage,
             solve_blocks=solve_blocks, diag_blocks=diag_blocks,
+            l0=l0 if isinstance(l0, jax.core.Tracer) else None,
         )
     if l0 is None or isinstance(l0, jax.core.Tracer):
         l0 = jnp.zeros((cap, cap), dtype=store_dtype)

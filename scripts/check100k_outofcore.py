@@ -86,4 +86,12 @@ def main(n=100_000, d=8, block=8192, m=256):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--d", type=int, default=8)
+    p.add_argument("--block", type=int, default=8192)
+    p.add_argument("--m", type=int, default=256)
+    a = p.parse_args()
+    main(a.n, a.d, a.block, a.m)

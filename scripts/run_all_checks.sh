@@ -1,10 +1,12 @@
 #!/bin/bash
-# Full local validation: tests (CPU, 8 virtual devices), driver entry
-# points, and the TPU headline benchmark. Usage: bash scripts/run_all_checks.sh
+# Full local validation: tests (CPU, 8 virtual devices, 4 workers like
+# CI), driver entry points, CPU smoke of every on-chip measurement
+# script (so they cannot bit-rot between hardware sessions), and the TPU
+# headline benchmark. Usage: bash scripts/run_all_checks.sh
 set -e
 cd "$(dirname "$0")/.."
 echo "== tests =="
-python -m pytest tests/ -x -q
+python -m pytest tests/ -n 4 -q
 echo "== driver entry points (virtual 8-device CPU mesh) =="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'PY'
 import os
@@ -17,5 +19,16 @@ jax.block_until_ready(jax.jit(fn)(*args))
 g.dryrun_multichip(8)
 print('entry + dryrun OK')
 PY
+echo "== on-chip script smokes (CPU, toy shapes) =="
+JAX_PLATFORMS=cpu timeout 600 python scripts/check80k.py \
+    --n 1024 --subsample 256 --m 256 --noise 0.5 --storage none
+JAX_PLATFORMS=cpu timeout 600 python scripts/check100k_outofcore.py \
+    --n 2048 --block 512 --m 64
+JAX_PLATFORMS=cpu timeout 600 python scripts/subsample_study.py \
+    --n 1024 --sizes 128 256 --seeds 0 --m 256 --max-iter 10
+JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py nuts \
+    --gp-n 64 --chains 4 --warmup 20 --samples 20
+JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py fit \
+    --backend streamed --n 512 --m 256 --max-iter 10
 echo "== TPU benchmark =="
 timeout 590 python bench.py

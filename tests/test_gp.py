@@ -229,3 +229,41 @@ def test_undersized_capacity_raises_config_error():
         ft.GaussianProcess.new(
             fp.ZeroPrior(), fk.SquaredExp(), 0.2, None, x, y, capacity=5
         )
+
+
+def test_fused_constructor_matches_eager_path():
+    """make_state's fused single-dispatch construction (one program for
+    residualize + pad + build + factor — dispatch round trips are
+    expensive over a remote TPU runtime) must produce exactly the state
+    the eager composition produces, for dense and streamed backends,
+    with capacity padding and a fitted prior."""
+    from friedrich_tpu.models import gp as core
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(24, 3)))
+    y = jnp.asarray(np.sin(rng.normal(size=24)))
+    kern = fk.SquaredExp(ls=jnp.asarray(0.7), ampl=jnp.asarray(1.2))
+    prior = fp.ConstantPrior.default(3).fit(x, y)
+    for backend in ("dense", "streamed"):
+        for cap in (24, 32):
+            state, ok = core.make_state(
+                kern, prior, 0.3, x, y, cap=cap, backend=backend,
+                block=8 if backend == "streamed" else None,
+            )
+            assert bool(ok)
+            resid = y - prior.mean(x)
+            x_pad, r_pad = core.pad_capacity(x, resid, cap)
+            l_ref, ok_ref = core._build_factor(
+                kern, x_pad, jnp.asarray(24, jnp.int32), 0.3, None, "gram",
+                backend, block=8 if backend == "streamed" else None,
+            )
+            assert bool(ok_ref)
+            np.testing.assert_allclose(
+                np.asarray(state.l), np.asarray(l_ref), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.x), np.asarray(x_pad), atol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.resid), np.asarray(r_pad), atol=0
+            )
