@@ -61,7 +61,13 @@ def enable_compile_cache(path: str = "/tmp/friedrich_jax_cache") -> None:
     benchmarks call this before building models; it never affects
     numerics (the cache key includes program, flags, and platform).
     """
-    jax.config.update("jax_compilation_cache_dir", path)
+    # one cache dir per backend: entries are keyed by program+platform,
+    # but XLA:CPU AOT results additionally bake the compile machine's CPU
+    # features — sharing a dir across backends makes the loader warn
+    # about (and risk) feature mismatches
+    jax.config.update(
+        "jax_compilation_cache_dir", f"{path}-{jax.default_backend()}"
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -188,13 +188,21 @@ class AcceleratedGPServer:
     ``state.x`` (or bare ``.x``) feature matrix — ``GaussianProcess``,
     ``LargeScaleGP`` (mesh-sharded factor), or ``OutOfCoreGP``
     (host-RAM factor).
-    Thread-per-connection, like the native daemon; JAX dispatch is
-    serialized with a lock (device execution is already sequential —
-    batching within a request is where the throughput is).
+    Thread-per-connection, like the native daemon. Concurrent requests
+    are CONTINUOUSLY BATCHED: while the device runs one batch, arrivals
+    queue, and the dispatcher merges everything queued into the next
+    single device sweep (the per-batch cost at large n is dominated by
+    reading the n x n factor once, so co-batched requests ride the same
+    sweep nearly free — measured round 3: 4 serialized clients paid
+    ~4x the single-client p50). Batch shapes are padded to power-of-two
+    buckets (min ``min_bucket``) so the device program set stays small;
+    batches above ``max_rows`` rows are chunked. No artificial delay is
+    added: a lone client's request dispatches immediately.
     """
 
     def __init__(self, model, host: str = "127.0.0.1",
-                 port: Optional[int] = None, max_batch: int = 1 << 20):
+                 port: Optional[int] = None, max_batch: int = 1 << 20,
+                 max_rows: int = 4096, min_bucket: int = 256):
         import threading
 
         self._model = model
@@ -203,14 +211,21 @@ class AcceleratedGPServer:
         self._d = int(feats.shape[1])
         self._x_dtype = feats.dtype  # wire is f64; model may be f32
         self._max_batch = max_batch
-        self._lock = threading.Lock()
+        self._max_rows = max_rows
+        self._min_bucket = min_bucket
+        self._pending: list = []  # [xq, out_slot, event] triples
+        self._cond = threading.Condition()
+        self._closing = False
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, daemon=True
+        )
+        self._dispatcher.start()
         self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind((host, port or 0))
         self._lsock.listen(16)
         self.host = host
         self.port = self._lsock.getsockname()[1]
-        self._closing = False
         self._accept_thread = threading.Thread(
             target=self._accept_loop, daemon=True
         )
@@ -269,7 +284,13 @@ class AcceleratedGPServer:
                 if data is None:
                     return
                 xq = np.frombuffer(data, dtype="<f8").reshape(nq, d)
-                mean, var = self._predict(xq)
+                try:
+                    mean, var = self._predict(xq)
+                except Exception:  # noqa: BLE001 — model/device error:
+                    # status-2 response keeps the connection usable (the
+                    # request was well-formed; the failure is server-side)
+                    conn.sendall(struct.pack("<IIQ", _RESP_MAGIC, 2, 0))
+                    continue
                 conn.sendall(
                     struct.pack("<IIQ", _RESP_MAGIC, 0, nq)
                     + mean.astype("<f8").tobytes()
@@ -282,13 +303,67 @@ class AcceleratedGPServer:
             conn.close()
 
     def _predict(self, xq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        with self._lock:
-            mean, var = self._model.predict_mean_variance(
-                xq.astype(self._x_dtype)
-            )
-        return np.asarray(mean, dtype=np.float64), np.asarray(
-            var, dtype=np.float64
-        )
+        """Submit to the continuous-batching dispatcher and wait."""
+        import threading
+
+        out: dict = {}
+        ev = threading.Event()
+        with self._cond:
+            self._pending.append((xq, out, ev))
+            self._cond.notify()
+        ev.wait()
+        if "error" in out:
+            raise out["error"]
+        return out["mean"], out["var"]
+
+    def _dispatch_loop(self) -> None:
+        """Continuous batching: run everything queued as ONE device sweep,
+        padded to a power-of-two row bucket (stable program set)."""
+        while True:
+            with self._cond:
+                while not self._pending and not self._closing:
+                    self._cond.wait(timeout=0.5)
+                if self._closing and not self._pending:
+                    return
+                batch, self._pending = self._pending, []
+            # chunk oversized merges so one giant batch cannot starve
+            # the queue (and so pad waste stays bounded)
+            rows = [b[0].shape[0] for b in batch]
+            while batch:
+                take, total = 0, 0
+                while take < len(batch) and (
+                    take == 0 or total + rows[take] <= self._max_rows
+                ):
+                    total += rows[take]
+                    take += 1
+                chunk, batch = batch[:take], batch[take:]
+                rows = rows[take:]
+                self._run_chunk(chunk, total)
+
+    def _run_chunk(self, chunk, total: int) -> None:
+        bucket = self._min_bucket
+        while bucket < total:
+            bucket *= 2
+        xs = [c[0] for c in chunk]
+        if bucket > total:
+            # pad with copies of the first row; results are discarded
+            xs.append(np.repeat(xs[0][:1], bucket - total, axis=0))
+        xq = np.concatenate(xs, axis=0).astype(self._x_dtype)
+        try:
+            mean, var = self._model.predict_mean_variance(xq)
+            mean = np.asarray(mean, dtype=np.float64)
+            var = np.asarray(var, dtype=np.float64)
+            off = 0
+            for x, out, ev in chunk:
+                k = x.shape[0]
+                out["mean"] = mean[off:off + k]
+                out["var"] = var[off:off + k]
+                off += k
+                ev.set()
+        except Exception as e:  # noqa: BLE001 — deliver to every waiter
+            for _, out, ev in chunk:
+                out["error"] = e
+                ev.set()
 
     def close(self) -> None:
         self._closing = True
@@ -297,6 +372,8 @@ class AcceleratedGPServer:
         except OSError:
             pass
         self._accept_thread.join(timeout=5)
+        with self._cond:
+            self._cond.notify()
 
     def __enter__(self) -> "AcceleratedGPServer":
         return self
@@ -350,8 +427,8 @@ class GPClient:
         (count,) = struct.unpack("<Q", self._recv_exact(8))
         if status != 0:
             raise ConfigError(
-                f"friedrich_served rejected the request (status {status}; "
-                f"query dim mismatch or oversized batch?)"
+                f"friedrich_served rejected the request (status {status}: "
+                f"{'server-side prediction error' if status == 2 else 'query dim mismatch or oversized batch?'})"
             )
         mean = np.frombuffer(self._recv_exact(8 * count), dtype="<f8").copy()
         if not want_variance:

@@ -224,3 +224,41 @@ def test_facade_build_factor_lowers_identical_at_headline_shape():
         if not line.lstrip().startswith(("module @", "func.func", "//"))
     )
     assert strip(text_facade) == strip(text_direct)
+
+
+def test_fused_constructor_donates_factor_workspace_at_headline_shape():
+    """The fused state constructor must DONATE the (cap, cap) workspace
+    into the factor output — the single-factor HBM discipline that keeps
+    n=50k f32 construction inside a 16 GB chip (without the alias XLA
+    keeps a second live L; OOM re-confirmed on hardware round 4). Pinned
+    on the LOWERED program at the headline shape, lowering only."""
+    import re
+
+    import jax
+
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu.models.gp import _make_state_fused_streamed
+
+    cap = 50_000
+    kernel = fk.SquaredExp(
+        ls=jnp.asarray(0.5, jnp.float32), ampl=jnp.asarray(1.0, jnp.float32)
+    )
+    lowered = _make_state_fused_streamed.lower(
+        kernel, fp.ZeroPrior(),
+        jax.ShapeDtypeStruct((cap, 8), jnp.float32),
+        jax.ShapeDtypeStruct((cap,), jnp.float32),
+        jnp.asarray(cap, jnp.int32),
+        jnp.asarray(1.0, jnp.float32),
+        jax.ShapeDtypeStruct((cap, cap), jnp.float32),
+        cap=cap, eps=None, method="gram", backend="streamed",
+        storage=None, block=None, precision=None,
+    )
+    text = lowered.as_text()
+    # exactly one donated input, and it is the (cap, cap) workspace;
+    # outputs are (x_pad, r_pad, l_pad, ok) so the factor is output 2
+    attrs = re.findall(r"tf\.aliasing_output = (\d+)", text)
+    assert attrs == ["2"], attrs
+    sig = next(
+        line for line in text.splitlines() if "tf.aliasing_output" in line
+    )
+    assert f"tensor<{cap}x{cap}xf32>" in sig

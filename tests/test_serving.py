@@ -207,3 +207,68 @@ def test_accelerated_server_outofcore_gp():
             mean, var = client.predict_mean_variance(xq)
     np.testing.assert_allclose(mean, np.asarray(want_mean), atol=5e-4)
     np.testing.assert_allclose(var, np.asarray(want_var), atol=5e-4)
+
+
+def test_accelerated_server_continuous_batching():
+    """Concurrent requests are merged into shared device sweeps (padded
+    to power-of-two buckets): results must match per-request predictions
+    exactly, across distinct query shapes and many client threads."""
+    import threading
+
+    gp, x, y = _trained_gp()
+    shapes = [3, 7, 11, 5, 9, 2, 8, 4]
+    queries = [RNG.normal(size=(s, 3)) for s in shapes]
+    want = [np.asarray(gp.predict_mean_variance(q)[0]) for q in queries]
+    got = [None] * len(queries)
+    errs = []
+    with serving.AcceleratedGPServer(gp, min_bucket=8, max_rows=16) as srv:
+        barrier = threading.Barrier(len(queries))
+
+        def one(i):
+            try:
+                with serving.GPClient(port=srv.port, timeout=30.0) as c:
+                    barrier.wait()
+                    got[i] = c.predict(queries[i])
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=one, args=(i,))
+            for i in range(len(queries))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errs, errs
+    for i, w in enumerate(want):
+        np.testing.assert_allclose(got[i], w, atol=1e-5)
+
+
+def test_accelerated_server_batching_delivers_errors_to_all_waiters():
+    """A failing model must fail every co-batched request, and the server
+    must keep serving afterwards."""
+    gp, x, y = _trained_gp()
+
+    class Flaky:
+        def __init__(self, inner):
+            self.state = inner.state
+            self._inner = inner
+            self.fail = True
+
+        def predict_mean_variance(self, xq):
+            if self.fail:
+                self.fail = False
+                raise RuntimeError("transient device error")
+            return self._inner.predict_mean_variance(xq)
+
+    flaky = Flaky(gp)
+    xq = RNG.normal(size=(4, 3))
+    with serving.AcceleratedGPServer(flaky) as srv:
+        with serving.GPClient(port=srv.port, timeout=30.0) as c:
+            with pytest.raises(Exception):
+                c.predict(xq)  # first call: the model raises
+            m = c.predict(xq)  # server recovered
+    np.testing.assert_allclose(
+        m, np.asarray(gp.predict_mean_variance(xq)[0]), atol=1e-5
+    )
