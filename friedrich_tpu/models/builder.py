@@ -55,7 +55,14 @@ class GaussianProcessBuilder:
         self._dtype = None
         self._panel_block: Optional[int] = None
         self._precision: Optional[str] = None
-        self._fit_subsample = None
+        # "auto" = the MEASURED default policy (optimizer.auto_subsample):
+        # full reference fit below n=24,576; above it, fit hyperparameters
+        # on a max(8192, n/5) subset then ONE full-n factorization —
+        # faster AND a better final model at the headline size, with
+        # seed/size scatter measured in BASELINE.md round 4.
+        # set_fit_subsample(None) restores the reference's per-iteration
+        # full-rebuild flow at any size.
+        self._fit_subsample = "auto"
         self._fit_gradient = "auto"
 
     # -- setters (builder.rs:102-182) ----------------------------------------
@@ -193,14 +200,17 @@ class GaussianProcessBuilder:
         return self
 
     def set_fit_subsample(self, subsample) -> "GaussianProcessBuilder":
-        """Fit strategy for ``train()``'s hyperparameter fit: ``None``
-        (default — the reference's full fit, one O(n^3) factorization per
-        ADAM iteration, ``optimizer.rs:267-270``), an int (fit on a random
-        subset of that size, then exactly ONE full-n factorization), or
-        ``"auto"`` (the measured policy ``optimizer.auto_subsample``:
-        full fit below n=24576, else ``max(8192, n // 5)`` — at n=50k
-        this is both ~2x faster and a better final model, BASELINE.md).
-        See ``models/optimizer.fit_subsampled``."""
+        """Fit strategy for ``train()``'s hyperparameter fit: ``"auto"``
+        (DEFAULT — the measured policy ``optimizer.auto_subsample``: the
+        reference's full fit below n=24,576, else fit the hyperparameters
+        on a ``max(8192, n // 5)`` random subset and pay exactly ONE
+        full-n factorization — at n=50k both faster and a better final
+        model, with seed/size scatter measured in BASELINE.md round 4),
+        an int (explicit subset size), or ``None`` (the reference's full
+        fit at any size: one O(n^3) factorization per ADAM iteration,
+        ``optimizer.rs:267-270`` — preferable when exact reference
+        trajectory semantics are required or the data is too
+        heterogeneous for a random subset)."""
         if subsample is not None and subsample != "auto":
             if not isinstance(subsample, int) or subsample <= 0:
                 raise ConfigError(

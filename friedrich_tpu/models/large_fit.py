@@ -289,10 +289,35 @@ def fit_kernel_noise_large(
         done = jnp.asarray(False)
         ok = jnp.asarray(True)
         for i in range(1, max_iter + 1):
-            l, rest, adam, done, ok = step_fn(
-                l, rest, adam, probes, jnp.asarray(i), conv, done, ok,
-                scalable,
-            )
+            try:
+                l, rest, adam, done, ok = step_fn(
+                    l, rest, adam, probes, jnp.asarray(i), conv, done, ok,
+                    scalable,
+                )
+            except Exception as e:  # noqa: BLE001
+                # The fused step is one large conditional program; at
+                # headline sizes some TPU compile stacks reject it
+                # (remote helper HTTP 500, reproduced at n=50k f32
+                # 6-pass). Compilation failures happen BEFORE execution,
+                # so the donated factor is still intact on the first
+                # iteration — fall back to the two-program per-iteration
+                # loop (the measured round-3 path) instead of failing
+                # the fit.
+                if i == 1 and "remote_compile" in str(e):
+                    import warnings
+
+                    warnings.warn(
+                        "fused fit step failed to compile "
+                        f"({str(e)[:120]}...); falling back to the "
+                        "per-iteration fit loop",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    return _per_iteration_fit(
+                        rest.replace(l=l), adam, probes, conv, max_iter,
+                        max_time, t0, scalable, None,
+                    )
+                raise
             if _sync_now(i, max_iter, sync_every):
                 if not bool(ok):
                     raise CholeskyError(
@@ -303,6 +328,17 @@ def fit_kernel_noise_large(
                 if bool(done) or time.monotonic() - t0 > max_time:
                     break
         return rest.replace(l=l)
+    return _per_iteration_fit(
+        state, adam, probes, conv, max_iter, max_time, t0, scalable,
+        fit_log,
+    )
+
+
+def _per_iteration_fit(state, adam, probes, conv, max_iter, max_time, t0,
+                       scalable, fit_log):
+    """Two-program loop: gradient step + rebuild per iteration, flags
+    read every iteration (the pre-fusion path; also the fallback when
+    the fused program cannot compile)."""
     for i in range(1, max_iter + 1):
         adam, kernel, noise, progress, info = _grad_step_large(
             state, adam, probes, jnp.asarray(i), conv, scalable

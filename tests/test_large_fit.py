@@ -350,3 +350,72 @@ def test_make_probes_dead_rows_zero():
     assert probes.shape == (64, 4)
     np.testing.assert_array_equal(np.asarray(probes[40:]), 0.0)
     assert set(np.unique(np.asarray(probes[:40]))) <= {-1.0, 1.0}
+
+
+def test_fused_step_compile_failure_falls_back(monkeypatch):
+    """When the fused fit-step program fails to COMPILE (the remote TPU
+    helper rejects it at headline sizes — HTTP 500), the fit must fall
+    back to the two-program per-iteration loop and produce the same
+    result it would have without fusion."""
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu.models import large_fit
+
+    rng = np.random.default_rng(0)
+    n = 48
+    x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float64)
+    y = jnp.sin(x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n))
+    kern = fk.SquaredExp(ls=jnp.asarray(1.5), ampl=jnp.asarray(1.0))
+    state, ok = core.make_state(
+        kern, fp.ZeroPrior(), jnp.asarray(0.4), x, y, backend="streamed",
+        block=16,
+    )
+    assert bool(ok)
+
+    def boom(*a, **k):
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500"
+        )
+
+    monkeypatch.setattr(large_fit, "_fused_fit_step_donate", boom)
+    monkeypatch.setattr(large_fit, "_fused_fit_step_nodonate", boom)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        fitted = fit_kernel_noise_large(state, 6, 0.05, 3600.0)
+
+    # reference: the same fit through the per-iteration (fit_log) loop
+    state2, _ = core.make_state(
+        kern, fp.ZeroPrior(), jnp.asarray(0.4), x, y, backend="streamed",
+        block=16,
+    )
+    from friedrich_tpu.utils.fitlog import FitLog
+
+    want = fit_kernel_noise_large(state2, 6, 0.05, 3600.0,
+                                  fit_log=FitLog())
+    np.testing.assert_allclose(
+        np.asarray(fitted.kernel.get_params()),
+        np.asarray(want.kernel.get_params()), rtol=1e-12,
+    )
+    np.testing.assert_allclose(fitted.noise, want.noise, rtol=1e-12)
+
+
+def test_fused_step_unrelated_error_propagates(monkeypatch):
+    """Only compile-helper failures trigger the fallback: any other
+    exception from the fused step must propagate."""
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu.models import large_fit
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(32, 2)))
+    y = jnp.sin(x[:, 0])
+    state, _ = core.make_state(
+        fk.SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0)),
+        fp.ZeroPrior(), jnp.asarray(0.3), x, y, backend="streamed",
+        block=16,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("something else entirely")
+
+    monkeypatch.setattr(large_fit, "_fused_fit_step_donate", boom)
+    monkeypatch.setattr(large_fit, "_fused_fit_step_nodonate", boom)
+    with pytest.raises(RuntimeError, match="something else"):
+        fit_kernel_noise_large(state, 4, 0.05, 3600.0)

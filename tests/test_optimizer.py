@@ -430,3 +430,26 @@ def test_builder_subsample_auto_below_threshold_is_reference_flow():
         np.asarray(a.kernel.get_params()), np.asarray(b.kernel.get_params())
     )
     np.testing.assert_allclose(a.noise, b.noise)
+
+
+def test_builder_subsample_auto_is_default():
+    """The measured subsample policy is the train() DEFAULT ('auto':
+    reference full fit below the threshold, sub-fit-first above);
+    set_fit_subsample(None) restores the reference flow everywhere."""
+    import numpy as np
+
+    import friedrich_tpu as ft
+    from friedrich_tpu.models.optimizer import (
+        AUTO_SUBSAMPLE_THRESHOLD, auto_subsample,
+    )
+
+    x = np.zeros((4, 1))
+    y = np.zeros(4)
+    b = ft.GaussianProcessBuilder(x, y)
+    assert b._fit_subsample == "auto"
+    assert b._resolved_subsample(AUTO_SUBSAMPLE_THRESHOLD - 1) is None
+    assert (
+        b._resolved_subsample(10 * AUTO_SUBSAMPLE_THRESHOLD)
+        == auto_subsample(10 * AUTO_SUBSAMPLE_THRESHOLD)
+    )
+    assert b.set_fit_subsample(None)._resolved_subsample(10 ** 6) is None
