@@ -14,7 +14,7 @@ kernels, priors, the GP + builder, and the posterior sampler.
 """
 
 from . import kernels, priors
-from .config import enable_x64
+from .config import enable_compile_cache, enable_x64, matmul_precision
 from .models import (
     GaussianProcess,
     GaussianProcessBuilder,
@@ -37,4 +37,6 @@ __all__ = [
     "FriedrichError",
     "ShapeError",
     "enable_x64",
+    "enable_compile_cache",
+    "matmul_precision",
 ]
