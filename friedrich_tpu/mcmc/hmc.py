@@ -77,6 +77,7 @@ def sample_hmc(
     pool_sum=None,
     step_size=None,
     inv_mass=None,
+    chain_batch=None,
 ) -> HMCResult:
     """Run ``num_chains`` HMC chains; returns post-warmup draws.
 
@@ -88,7 +89,55 @@ def sample_hmc(
     local-only. Pass ``step_size`` and ``inv_mass`` (e.g. from a previous
     run's result) to SKIP warmup entirely — chain resumption: restart with
     ``init_theta=prev.samples[-1]`` plus the saved adaptation.
+
+    ``chain_batch``: run the chains as SEQUENTIAL program launches of
+    this many vmapped chains (same semantics as ``sample_nuts`` — see
+    its docstring for the measured TPU program-width envelope and the
+    per-batch adaptation layout). ``None`` auto-selects from the
+    envelope when the density advertises its GP size; pass
+    ``num_chains`` to force one program.
     """
+    from .nuts import _auto_chain_batch
+
+    if chain_batch is None:
+        chain_batch = _auto_chain_batch(logp, num_chains)
+    if chain_batch is not None and num_chains > chain_batch:
+        if num_chains % chain_batch != 0:
+            raise ValueError(
+                f"chain_batch={chain_batch} must divide "
+                f"num_chains={num_chains}"
+            )
+        results = []
+        for bi in range(num_chains // chain_batch):
+            key, sub = jax.random.split(key)
+            theta_b = (
+                init_theta if init_theta.ndim == 1
+                else init_theta[bi * chain_batch:(bi + 1) * chain_batch]
+            )
+            ss = (
+                step_size if step_size is None or jnp.ndim(step_size) == 0
+                else step_size[bi]
+            )
+            im = (
+                inv_mass if inv_mass is None or jnp.ndim(inv_mass) <= 1
+                else inv_mass[bi]
+            )
+            results.append(sample_hmc(
+                logp, theta_b, sub, num_warmup, num_samples, chain_batch,
+                num_leapfrog, init_step_size, jitter, pool_mean, pool_sum,
+                ss, im, chain_batch,
+            ))
+        return HMCResult(
+            samples=jnp.concatenate([r.samples for r in results], axis=1),
+            accept_prob=jnp.concatenate(
+                [r.accept_prob for r in results], axis=1
+            ),
+            step_size=jnp.stack([r.step_size for r in results]),
+            inv_mass=jnp.stack([r.inv_mass for r in results]),
+            final_logp=jnp.concatenate(
+                [r.final_logp for r in results], axis=0
+            ),
+        )
     dim = init_theta.shape[-1]
     dtype = init_theta.dtype
     val_grad = jax.value_and_grad(logp)

@@ -188,7 +188,12 @@ def exp_fit(args):
             return contextlib.nullcontext()
         return ftconfig.matmul_precision(args.precision)
 
-    def build():
+    # --subsample: None/absent = the builder's DEFAULT ("auto" policy —
+    # since round 4 the public-API train() sub-fits above n=24,576);
+    # "none" = force the reference full-fit flow; an int = explicit size
+    sub_arg = args.subsample
+
+    def make_builder():
         b = (
             ft.GaussianProcessBuilder(x, y)
             .set_noise(args.noise)
@@ -199,18 +204,22 @@ def exp_fit(args):
             b = b.set_cholesky_epsilon(args.eps)
         if args.storage != "none":
             b = b.set_factor_storage(args.storage)
+        if sub_arg == "none":
+            b = b.set_fit_subsample(None)
+        elif sub_arg is not None:
+            b = b.set_fit_subsample(int(sub_arg))
+        return b
+
+    resolved_sub = make_builder()._resolved_subsample(n)
+
+    def build():
         with _scope():
-            if args.subsample:
-                # builder sub-fit-first flow: hyperparameters fitted on
-                # the subset FIRST, then exactly ONE full-n factorization
-                # at the fitted parameters (round 4; the round-3 flow
-                # paid an extra full-n build at heuristic params)
-                b = b.set_fit_subsample(args.subsample)
-            b = (
-                b.fit_kernel().fit_prior()
+            return (
+                make_builder()
+                .fit_kernel().fit_prior()
                 .set_fit_parameters(args.max_iter, 0.05)
+                .train()
             )
-            return b.train()
 
     try:
         t0 = time.perf_counter()
@@ -227,28 +236,37 @@ def exp_fit(args):
         # drop this model before constructing the next
         del gp
 
-        # iteration count via an (untimed) logged refit from the same init
+        # iteration count via an (untimed) logged refit reproducing the
+        # timed flow: sub-model fit when a subsample resolves, else the
+        # full fit
         log = FitLog()
-        b2 = (
-            ft.GaussianProcessBuilder(x, y)
-            .set_noise(args.noise)
-            .set_dtype("float32")
-            .set_backend(args.backend if args.backend != "dense" else "auto")
-        )
-        if args.eps:
-            b2 = b2.set_cholesky_epsilon(args.eps)
-        if args.storage != "none":
-            b2 = b2.set_factor_storage(args.storage)
         kern = fk.Gaussian().heuristic_fit(
             jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
         )
         with _scope():
-            gp2 = b2.set_kernel(kern).train()
-            gp2.fit_parameters(
-                fit_prior=True, fit_kernel=True, max_iter=args.max_iter,
-                convergence_fraction=0.05, fit_log=log,
-                subsample=args.subsample,
-            )
+            if resolved_sub is not None:
+                import friedrich_tpu.priors as fpr
+
+                prior = fpr.ConstantPrior.default(d).fit(
+                    jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+                )
+                idx = np.asarray(jnp.sort(jax.random.permutation(
+                    jax.random.PRNGKey(0), n)[:resolved_sub]))
+                gp2 = ft.GaussianProcess.new(
+                    prior, kern, args.noise, args.eps or None,
+                    x[idx], y[idx], backend="auto",
+                )
+                gp2.fit_parameters(
+                    fit_prior=False, fit_kernel=True,
+                    max_iter=args.max_iter, convergence_fraction=0.05,
+                    fit_log=log,
+                )
+            else:
+                gp2 = make_builder().set_kernel(kern).train()
+                gp2.fit_parameters(
+                    fit_prior=True, fit_kernel=True, max_iter=args.max_iter,
+                    convergence_fraction=0.05, fit_log=log,
+                )
         del gp2
         iters = len(log.records)
 
@@ -266,7 +284,7 @@ def exp_fit(args):
             exp="fit", backend=args.backend, n=n, d=d,
             storage=args.storage, max_iter=args.max_iter,
             eps=args.eps, precision=args.precision,
-            subsample=args.subsample,
+            subsample=sub_arg, resolved_subsample=resolved_sub,
             first_train_s=round(t_first, 3),
             train_s=round(t_second, 3),
             fit_iterations=iters,
@@ -791,9 +809,11 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=100,
                    help="ADAM iteration cap for the fit experiment "
                         "(reference default 100, builder.rs:76)")
-    p.add_argument("--subsample", type=int, default=None,
-                   help="fit hyperparameters on a random subset of this "
-                        "size, one final full-n rebuild (fit experiment)")
+    p.add_argument("--subsample", default=None,
+                   help="fit-strategy for the fit experiment: absent = "
+                        "the builder default ('auto' policy), an int = "
+                        "explicit subset size, 'none' = force the "
+                        "reference full fit")
     p.add_argument("--eps", type=float, default=None,
                    help="cholesky_epsilon for the fit experiment (the "
                         "reference's remedy for ill-conditioned problems; "
