@@ -76,3 +76,21 @@ print(f"full Hutchinson fit: LML {gp2.log_marginal_likelihood():.1f}, "
 # both models predict through the cached-weights fast path
 xq = rng.normal(size=(5, D)).astype(np.float32)
 print("predictions:", np.round(np.asarray(gp.predict(xq)), 3))
+
+# round 4: the builder's train() applies strategy 2 AUTOMATICALLY above
+# n=24,576 (sub-fit-first: hyperparameters on a max(8192, n/5) subset,
+# prior on the full data, then exactly ONE full-n factorization at the
+# fitted values — 3.85 s at n=50k on one v5e through this exact call):
+gp3 = (
+    ft.GaussianProcessBuilder(x, y)
+    .set_noise(0.3)
+    .set_dtype("float32")
+    .set_backend("streamed")
+    # .set_factor_precision("f32")   # the large-n remedy, see above
+    # .set_fit_subsample(None)       # opt OUT: reference full fit
+    .fit_kernel()
+    .fit_prior()
+    .train()
+)
+print(f"builder auto policy: LML {gp3.log_marginal_likelihood():.1f} "
+      f"(full fit at this n; sub-fit-first above n=24,576)")
