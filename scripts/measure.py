@@ -300,6 +300,45 @@ def exp_fit(args):
         emit(exp="fit", backend=args.backend, n=n, error=str(e)[:300])
 
 
+def exp_append(args):
+    """Incremental add_samples throughput: the blocked O(n^2 k) Cholesky
+    append (``algebra/mod.rs:97-126`` is the reference's per-row O(n^2)
+    insert loop) through the public facade. Capacity is pre-reserved so
+    the append itself — not a growth rebuild — is timed."""
+    import friedrich_tpu as ft
+    import friedrich_tpu.kernels as fk
+    import friedrich_tpu.priors as fp
+
+    n, d, k = args.n, args.d, 256
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n + 4 * k, d)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    kern = fk.SquaredExp(
+        ls=jnp.asarray(0.5, jnp.float32), ampl=jnp.asarray(1.0, jnp.float32)
+    )
+    try:
+        gp = ft.GaussianProcess.new(
+            fp.ZeroPrior(), kern, args.noise, None, x[:n], y[:n],
+            capacity=n + 4 * k, backend="streamed",
+        )
+        # warm the append program with the first block, then time blocks
+        gp.add_samples(x[n:n + k], y[n:n + k])
+        times = []
+        for i in range(1, 4):
+            lo, hi = n + i * k, n + (i + 1) * k
+            t0 = time.perf_counter()
+            gp.add_samples(x[lo:hi], y[lo:hi])
+            jax.block_until_ready(gp.state.l)
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        emit(exp="append", n=n, k=k, seconds=round(t, 4),
+             rows_per_s=round(k / t),
+             eff_gmacs=round(n * n * k / t / 1e9, 1))
+        del gp
+    except Exception as e:
+        emit(exp="append", n=n, error=str(e)[:300])
+
+
 def exp_cov(args):
     """Covariance build alone: XLA fused vs the Pallas tile kernel."""
     dtype = jnp.float32
@@ -778,7 +817,7 @@ def main(argv=None):
     p.add_argument("exps", nargs="+",
                    choices=["factor", "fit", "cov", "predict", "nuts",
                             "serving", "gemm", "diag", "precacc",
-                            "solveblock", "all"])
+                            "solveblock", "append", "all"])
     p.add_argument("--backend", default="hybrid",
                    choices=["dense", "streamed", "tiled", "hybrid"])
     p.add_argument("--n", type=int, default=50000)
@@ -844,7 +883,7 @@ def main(argv=None):
          "predict": exp_predict,
          "nuts": exp_nuts, "serving": exp_serving, "gemm": exp_gemm,
          "diag": exp_diag, "precacc": exp_precacc,
-         "solveblock": exp_solveblock}[e](args)
+         "solveblock": exp_solveblock, "append": exp_append}[e](args)
 
 
 if __name__ == "__main__":
