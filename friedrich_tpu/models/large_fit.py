@@ -224,6 +224,10 @@ _fused_fit_step_nodonate = partial(
     jax.jit, static_argnames=("scalable",)
 )(_fused_fit_step_body)
 
+#: (capacity, backend) pairs whose fused step the compile stack rejected
+#: this process — later fits skip straight to the per-iteration loop.
+_FUSED_STEP_UNCOMPILABLE: set = set()
+
 
 def fit_kernel_noise_large(
     state: GPState,
@@ -285,6 +289,14 @@ def fit_kernel_noise_large(
             _fused_fit_step_donate if resolved == "streamed"
             else _fused_fit_step_nodonate
         )
+        # a failed fused compile is deterministic for a given capacity —
+        # don't pay the (tens of seconds) remote-compile attempt again on
+        # every subsequent fit in this process
+        if (state.capacity, resolved) in _FUSED_STEP_UNCOMPILABLE:
+            return _per_iteration_fit(
+                state, adam, probes, conv, max_iter, max_time, t0,
+                scalable, None,
+            )
         l, rest = state.l, state.replace(l=None)
         done = jnp.asarray(False)
         ok = jnp.asarray(True)
@@ -312,6 +324,9 @@ def fit_kernel_noise_large(
                         "per-iteration fit loop",
                         RuntimeWarning,
                         stacklevel=2,
+                    )
+                    _FUSED_STEP_UNCOMPILABLE.add(
+                        (state.capacity, resolved)
                     )
                     return _per_iteration_fit(
                         rest.replace(l=l), adam, probes, conv, max_iter,

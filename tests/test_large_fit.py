@@ -419,3 +419,36 @@ def test_fused_step_unrelated_error_propagates(monkeypatch):
     monkeypatch.setattr(large_fit, "_fused_fit_step_nodonate", boom)
     with pytest.raises(RuntimeError, match="something else"):
         fit_kernel_noise_large(state, 4, 0.05, 3600.0)
+
+
+def test_fused_step_compile_failure_memoized(monkeypatch):
+    """A second fit at the same capacity must not re-attempt the failed
+    fused compile (tens of seconds over the remote helper)."""
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu.models import large_fit
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(40, 2)))
+    y = jnp.sin(x[:, 0])
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+
+    monkeypatch.setattr(large_fit, "_fused_fit_step_donate", boom)
+    monkeypatch.setattr(large_fit, "_fused_fit_step_nodonate", boom)
+    monkeypatch.setattr(large_fit, "_FUSED_STEP_UNCOMPILABLE", set())
+    for expect_calls in (1, 1):  # second fit: no new attempt
+        state, _ = core.make_state(
+            fk.SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0)),
+            fp.ZeroPrior(), jnp.asarray(0.4), x, y, backend="streamed",
+            block=8,
+        )
+        import warnings as w
+
+        with w.catch_warnings():
+            w.simplefilter("ignore")
+            fitted = large_fit.fit_kernel_noise_large(state, 3, 0.05, 3600.0)
+        assert bool(jnp.all(jnp.isfinite(fitted.kernel.get_params())))
+        assert calls["n"] == expect_calls
