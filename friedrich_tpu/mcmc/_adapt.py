@@ -31,7 +31,7 @@ class WarmupResult(NamedTuple):
 
 def _da_phase(
     step_fn, carry0, get_positions, num_steps, inv_mass, dim, dtype, key,
-    init_step_size, pool_mean, pool_sum, welford_from,
+    init_step_size, pool_mean, pool_sum, welford_from, segment=None,
 ):
     """One dual-averaging phase under a FIXED inv_mass; Welford statistics
     collected from step ``welford_from`` onward."""
@@ -75,9 +75,26 @@ def _da_phase(
         jnp.zeros((dim,), dtype),
         jnp.asarray(0.0, dtype),
     )
-    (carry, _, log_eps_bar, _, _, w_m2, w_cnt), _ = lax.scan(
-        warmup_step, init, (jnp.arange(num_steps), keys)
-    )
+    if segment is None or segment <= 0 or num_steps <= segment:
+        (carry, _, log_eps_bar, _, _, w_m2, w_cnt), _ = lax.scan(
+            warmup_step, init, (jnp.arange(num_steps), keys)
+        )
+    else:
+        # segmented: run the SAME scan in host-level chunks, feeding the
+        # carry back — mathematically identical (the step index rides in
+        # the scanned inputs), but each device program stays short.
+        # Full-length NUTS scans at realistic GP sizes crash the TPU
+        # runtime (BASELINE.md round 4); chunks reuse one compiled
+        # program (plus at most one remainder-length program).
+        sc = init
+        start = 0
+        while start < num_steps:
+            end = min(start + segment, num_steps)
+            sc, _ = lax.scan(
+                warmup_step, sc, (jnp.arange(start, end), keys[start:end])
+            )
+            start = end
+        carry, _, log_eps_bar, _, _, w_m2, w_cnt = sc
     var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
     return carry, jnp.exp(log_eps_bar), var, w_cnt
 
@@ -93,6 +110,7 @@ def dual_averaging_warmup(
     init_step_size: float = 0.1,
     pool_mean=None,
     pool_sum=None,
+    segment=None,
 ) -> WarmupResult:
     """Two-phase warmup; ``step_fn(carry, eps, inv_mass, key) ->
     (carry, alpha)`` advances all local chains once and returns per-chain
@@ -115,6 +133,7 @@ def dual_averaging_warmup(
     carry, eps1, var, w_cnt = _da_phase(
         step_fn, carry0, get_positions, n1, inv_mass_init, dim, dtype, k1,
         init_step_size, pool_mean, pool_sum, welford_from=n1 // 2,
+        segment=segment,
     )
     inv_mass = jnp.where(w_cnt > 2, jnp.maximum(var, 1e-6), 1.0)
 
@@ -122,5 +141,6 @@ def dual_averaging_warmup(
     carry, eps2, _, _ = _da_phase(
         step_fn, carry, get_positions, n2, inv_mass, dim, dtype, k2,
         eps1, pool_mean, pool_sum, welford_from=n2 + 1,
+        segment=segment,
     )
     return WarmupResult(carry=carry, step_size=eps2, inv_mass=inv_mass)

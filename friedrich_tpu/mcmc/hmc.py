@@ -78,6 +78,7 @@ def sample_hmc(
     step_size=None,
     inv_mass=None,
     chain_batch=None,
+    scan_segment=None,
 ) -> HMCResult:
     """Run ``num_chains`` HMC chains; returns post-warmup draws.
 
@@ -97,10 +98,12 @@ def sample_hmc(
     envelope when the density advertises its GP size; pass
     ``num_chains`` to force one program.
     """
-    from .nuts import _auto_chain_batch
+    from .nuts import _auto_chain_batch, _auto_scan_segment
 
     if chain_batch is None:
         chain_batch = _auto_chain_batch(logp, num_chains)
+    if scan_segment is None:
+        scan_segment = _auto_scan_segment(logp)
     if chain_batch is not None and num_chains > chain_batch:
         if num_chains % chain_batch != 0:
             raise ValueError(
@@ -125,7 +128,7 @@ def sample_hmc(
             results.append(sample_hmc(
                 logp, theta_b, sub, num_warmup, num_samples, chain_batch,
                 num_leapfrog, init_step_size, jitter, pool_mean, pool_sum,
-                ss, im, chain_batch,
+                ss, im, chain_batch, scan_segment,
             ))
         return HMCResult(
             samples=jnp.concatenate([r.samples for r in results], axis=1),
@@ -183,6 +186,7 @@ def sample_hmc(
         warm = dual_averaging_warmup(
             step_fn, (theta0, logp0, g0), lambda c: c[0], num_warmup, dim,
             dtype, kw, init_step_size, pool_mean, pool_sum,
+            segment=scan_segment,
         )
         carry, step_size, inv_mass = warm.carry, warm.step_size, warm.inv_mass
     else:
@@ -196,9 +200,22 @@ def sample_hmc(
 
     key, ks = jax.random.split(key)
     sample_keys = jax.random.split(ks, num_samples)
-    (theta, logp_v, g), (samples, accepts) = lax.scan(
-        sample_step, carry, sample_keys
-    )
+    if scan_segment is None or scan_segment <= 0 \
+            or num_samples <= scan_segment:
+        (theta, logp_v, g), (samples, accepts) = lax.scan(
+            sample_step, carry, sample_keys
+        )
+    else:
+        chunks = []
+        start = 0
+        while start < num_samples:
+            end = min(start + scan_segment, num_samples)
+            carry, out = lax.scan(sample_step, carry, sample_keys[start:end])
+            chunks.append(out)
+            start = end
+        theta, logp_v, g = carry
+        samples = jnp.concatenate([c[0] for c in chunks], axis=0)
+        accepts = jnp.concatenate([c[1] for c in chunks], axis=0)
     return HMCResult(
         samples=samples,
         accept_prob=accepts,

@@ -48,6 +48,25 @@ MAX_DELTA_ENERGY = 1000.0
 TPU_CHAIN_ENVELOPE = 32768
 
 
+#: Per-program scan length for realistic-n GP densities on TPU. Round-4
+#: measurement: the same 8-chain n=4096 NUTS program runs at 20
+#: transitions per scan and crashes the TPU runtime at 100 — the fault
+#: scales with SCAN LENGTH, not program width. 25 divides the default
+#: warmup phases (75/25) and sample counts, so the common configs reuse
+#: one program per phase with no remainder compile.
+MAX_SCAN_SEGMENT = 25
+
+
+def _auto_scan_segment(logp):
+    """Per-program scan length for the measured TPU runtime limit, or
+    None. Applies under the same conditions as :func:`_auto_chain_batch`
+    (stamped GP density, accelerator backend)."""
+    gp_n = getattr(logp, "gp_n", None)
+    if gp_n is None or jax.default_backend() == "cpu":
+        return None
+    return MAX_SCAN_SEGMENT
+
+
 def _auto_chain_batch(logp, num_chains: int):
     """Per-program chain width for the measured TPU envelope, or None.
 
@@ -311,6 +330,7 @@ def sample_nuts(
     step_size=None,
     inv_mass=None,
     chain_batch=None,
+    scan_segment=None,
 ) -> NUTSResult:
     """Run vmapped NUTS chains with pooled dual-averaging warmup.
 
@@ -340,11 +360,22 @@ def sample_nuts(
     adaptation is then pooled over ``chain_batch`` chains rather than
     all of them — statistically still valid (any fixed step size is),
     just less sharing.
+
+    ``scan_segment``: maximum transitions per device program. The TPU
+    runtime crashes on LONG NUTS scans at realistic GP sizes (measured
+    round 4: the same 8-chain n=4096 program runs at 20 transitions and
+    faults at 100), so warmup and sampling scans are chunked into
+    host-level launches feeding the carry back — mathematically
+    identical, one compiled program per distinct chunk length. ``None``
+    auto-selects :data:`MAX_SCAN_SEGMENT` under the same conditions as
+    chain batching; pass 0 to force single-scan programs.
     """
     pool_mean = pool_mean or (lambda v: v)
     pool_sum = pool_sum or (lambda v: v)
     if chain_batch is None:
         chain_batch = _auto_chain_batch(logp, num_chains)
+    if scan_segment is None:
+        scan_segment = _auto_scan_segment(logp)
     if chain_batch is not None and num_chains > chain_batch:
         if num_chains % chain_batch != 0:
             raise ValueError(
@@ -390,6 +421,7 @@ def sample_nuts(
             results.append(sample_nuts(
                 logp, theta_b, sub, num_warmup, num_samples, chain_batch,
                 max_depth, init_step_size, pool_mean, pool_sum, ss, im,
+                chain_batch, scan_segment,
             ))
         return NUTSResult(
             samples=jnp.concatenate([r.samples for r in results], axis=1),
@@ -437,7 +469,7 @@ def sample_nuts(
         return _run_sampling(
             vtrans, theta0, logp0, g0,
             jnp.asarray(step_size, dtype), jnp.asarray(inv_mass, dtype),
-            key, num_samples,
+            key, num_samples, scan_segment,
         )
 
     def step_fn(carry, eps, im, k):
@@ -449,17 +481,18 @@ def sample_nuts(
     key, kw = jax.random.split(key)
     warm = dual_averaging_warmup(
         step_fn, (theta0, logp0, g0), lambda c: c[0], num_warmup, dim, dtype,
-        kw, init_step_size, pool_mean, pool_sum,
+        kw, init_step_size, pool_mean, pool_sum, segment=scan_segment,
     )
     theta, logp_v, g = warm.carry
 
     return _run_sampling(
         vtrans, theta, logp_v, g, warm.step_size, warm.inv_mass, key,
-        num_samples,
+        num_samples, scan_segment,
     )
 
 
-def _run_sampling(vtrans, theta, logp_v, g, step_size, inv_mass, key, num_samples):
+def _run_sampling(vtrans, theta, logp_v, g, step_size, inv_mass, key,
+                  num_samples, segment=None):
     def sample_step(carry, k):
         theta, logp_v, g = carry
         ks = jax.random.split(k, theta.shape[0])
@@ -470,9 +503,27 @@ def _run_sampling(vtrans, theta, logp_v, g, step_size, inv_mass, key, num_sample
 
     key, ks = jax.random.split(key)
     sample_keys = jax.random.split(ks, num_samples)
-    (_, _, _), (samples, alphas, depths, divs) = lax.scan(
-        sample_step, (theta, logp_v, g), sample_keys
-    )
+    carry = (theta, logp_v, g)
+    if segment is None or segment <= 0 or num_samples <= segment:
+        carry, (samples, alphas, depths, divs) = lax.scan(
+            sample_step, carry, sample_keys
+        )
+    else:
+        # segmented sampling: short per-program scans feeding the chain
+        # state back (see _adapt._da_phase — same TPU runtime limit)
+        chunks = []
+        start = 0
+        while start < num_samples:
+            end = min(start + segment, num_samples)
+            carry, out = lax.scan(
+                sample_step, carry, sample_keys[start:end]
+            )
+            chunks.append(out)
+            start = end
+        samples, alphas, depths, divs = (
+            jnp.concatenate([c[i] for c in chunks], axis=0)
+            for i in range(4)
+        )
     return NUTSResult(
         samples=samples,
         accept_prob=alphas,

@@ -64,8 +64,10 @@ def _sharded(sampler_fn, mesh: Mesh, logp: Callable, init_theta: Array,
     # (pooled adaptation must stay a replicated scalar — the sequential
     # chain_batch path would add a leading batch axis and break the
     # out_specs below); disable sample_nuts' envelope auto-batching unless
-    # the caller explicitly asked for batching
+    # the caller explicitly asked for batching. Likewise scan segmentation:
+    # a host-level chunk loop would UNROLL inside the shard_map trace.
     kwargs.setdefault("chain_batch", local_chains)
+    kwargs.setdefault("scan_segment", 0)
 
     def body(theta_local, keys_local):
         return sampler_fn(

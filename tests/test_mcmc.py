@@ -485,3 +485,50 @@ def test_hmc_chain_batch_matches_shapes_and_mixes(monkeypatch):
                       num_warmup=10, num_samples=5, num_chains=2)
     assert res2.samples.shape == (5, 2, 2)
     assert res2.step_size.shape == (2,)
+
+
+def test_scan_segmentation_is_exact():
+    """Segmented warmup+sampling scans (the TPU long-program mitigation)
+    must reproduce the single-scan run EXACTLY — same keys, same math,
+    just shorter device programs."""
+    from friedrich_tpu.mcmc import sample_hmc, sample_nuts
+
+    cov = jnp.asarray([[2.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda x: -0.5 * x @ prec @ x
+
+    for seg in (7, 25):
+        a = sample_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(0),
+                        num_warmup=40, num_samples=30, num_chains=3,
+                        scan_segment=0)
+        b = sample_nuts(logp, jnp.zeros(2), jax.random.PRNGKey(0),
+                        num_warmup=40, num_samples=30, num_chains=3,
+                        scan_segment=seg)
+        np.testing.assert_array_equal(np.asarray(a.samples),
+                                      np.asarray(b.samples))
+        np.testing.assert_array_equal(np.asarray(a.step_size),
+                                      np.asarray(b.step_size))
+        np.testing.assert_array_equal(np.asarray(a.tree_depth),
+                                      np.asarray(b.tree_depth))
+
+    a = sample_hmc(logp, jnp.zeros(2), jax.random.PRNGKey(2),
+                   num_warmup=40, num_samples=30, num_chains=3,
+                   scan_segment=0)
+    b = sample_hmc(logp, jnp.zeros(2), jax.random.PRNGKey(2),
+                   num_warmup=40, num_samples=30, num_chains=3,
+                   scan_segment=9)
+    np.testing.assert_array_equal(np.asarray(a.samples),
+                                  np.asarray(b.samples))
+    np.testing.assert_array_equal(np.asarray(a.final_logp),
+                                  np.asarray(b.final_logp))
+
+
+def test_auto_scan_segment_policy(monkeypatch):
+    from friedrich_tpu.mcmc.nuts import MAX_SCAN_SEGMENT, _auto_scan_segment
+
+    toy = lambda t: -t @ t
+    assert _auto_scan_segment(toy) is None          # unstamped density
+    toy.gp_n = 4096
+    assert _auto_scan_segment(toy) is None          # CPU backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _auto_scan_segment(toy) == MAX_SCAN_SEGMENT
