@@ -17,6 +17,12 @@ from jax import lax
 
 Array = jnp.ndarray
 
+#: Set FRIEDRICH_MCMC_DEBUG=1 to print per-segment progress (which
+#: segment a TPU runtime crash lands in, and the evolving step size).
+import os as _os
+
+_MCMC_DEBUG = _os.environ.get("FRIEDRICH_MCMC_DEBUG") == "1"
+
 TARGET_ACCEPT = 0.8
 DA_GAMMA = 0.05
 DA_T0 = 10.0
@@ -93,6 +99,10 @@ def _da_phase(
             sc, _ = lax.scan(
                 warmup_step, sc, (jnp.arange(start, end), keys[start:end])
             )
+            if _MCMC_DEBUG:
+                jax.block_until_ready(sc)
+                print(f"[mcmc-debug] warmup segment {start}:{end} ok, "
+                      f"eps={float(jnp.exp(sc[1])):.4g}", flush=True)
             start = end
         carry, _, log_eps_bar, _, _, w_m2, w_cnt = sc
     var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)

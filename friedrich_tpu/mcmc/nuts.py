@@ -511,6 +511,8 @@ def _run_sampling(vtrans, theta, logp_v, g, step_size, inv_mass, key,
     else:
         # segmented sampling: short per-program scans feeding the chain
         # state back (see _adapt._da_phase — same TPU runtime limit)
+        from ._adapt import _MCMC_DEBUG
+
         chunks = []
         start = 0
         while start < num_samples:
@@ -518,6 +520,10 @@ def _run_sampling(vtrans, theta, logp_v, g, step_size, inv_mass, key,
             carry, out = lax.scan(
                 sample_step, carry, sample_keys[start:end]
             )
+            if _MCMC_DEBUG:
+                jax.block_until_ready(carry)
+                print(f"[mcmc-debug] sampling segment {start}:{end} ok",
+                      flush=True)
             chunks.append(out)
             start = end
         samples, alphas, depths, divs = (
