@@ -103,7 +103,9 @@ def sample_hmc(
     if chain_batch is None:
         chain_batch = _auto_chain_batch(logp, num_chains)
     if scan_segment is None:
-        scan_segment = _auto_scan_segment(logp)
+        scan_segment = _auto_scan_segment(
+            logp, chain_batch if chain_batch else num_chains
+        )
     if chain_batch is not None and num_chains > chain_batch:
         if num_chains % chain_batch != 0:
             raise ValueError(

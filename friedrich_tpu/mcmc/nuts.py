@@ -48,23 +48,32 @@ MAX_DELTA_ENERGY = 1000.0
 TPU_CHAIN_ENVELOPE = 32768
 
 
-#: Per-program scan length for realistic-n GP densities on TPU. Round-4
-#: measurement: the same 8-chain n=4096 NUTS program runs at 20
-#: transitions per scan and crashes the TPU runtime at 100 — the fault
-#: scales with SCAN LENGTH, not program width. 25 divides the default
-#: warmup phases (75/25) and sample counts, so the common configs reuse
-#: one program per phase with no remainder compile.
+#: Per-program transition budget (vmapped chains x scan steps) for
+#: realistic-n GP densities on TPU. Round-4 bisection: the fault tracks
+#: the WORK enqueued per program, not width or length alone — 4 chains x
+#: 25-step segments complete where 8 x 25 crash, and the same 8-chain
+#: program runs at 20-step scans; 4 x 25 = 100 is the measured-good
+#: point the budget is set at.
+TPU_SCAN_TRANSITION_BUDGET = 100
 MAX_SCAN_SEGMENT = 25
 
 
-def _auto_scan_segment(logp):
+def _auto_scan_segment(logp, chains_per_program: int = 4):
     """Per-program scan length for the measured TPU runtime limit, or
     None. Applies under the same conditions as :func:`_auto_chain_batch`
-    (stamped GP density, accelerator backend)."""
+    (stamped GP density, accelerator backend); the segment shrinks as
+    the per-program chain width grows, holding width x length inside
+    :data:`TPU_SCAN_TRANSITION_BUDGET`."""
     gp_n = getattr(logp, "gp_n", None)
     if gp_n is None or jax.default_backend() == "cpu":
         return None
-    return MAX_SCAN_SEGMENT
+    return max(
+        4,
+        min(
+            MAX_SCAN_SEGMENT,
+            TPU_SCAN_TRANSITION_BUDGET // max(1, chains_per_program),
+        ),
+    )
 
 
 def _auto_chain_batch(logp, num_chains: int):
@@ -375,7 +384,9 @@ def sample_nuts(
     if chain_batch is None:
         chain_batch = _auto_chain_batch(logp, num_chains)
     if scan_segment is None:
-        scan_segment = _auto_scan_segment(logp)
+        scan_segment = _auto_scan_segment(
+            logp, chain_batch if chain_batch else num_chains
+        )
     if chain_batch is not None and num_chains > chain_batch:
         if num_chains % chain_batch != 0:
             raise ValueError(
