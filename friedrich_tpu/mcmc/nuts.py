@@ -48,32 +48,32 @@ MAX_DELTA_ENERGY = 1000.0
 TPU_CHAIN_ENVELOPE = 32768
 
 
-#: Per-program transition budget (vmapped chains x scan steps) for
-#: realistic-n GP densities on TPU. Round-4 bisection: the fault tracks
-#: the WORK enqueued per program, not width or length alone — 4 chains x
-#: 25-step segments complete where 8 x 25 crash, and the same 8-chain
-#: program runs at 20-step scans; 4 x 25 = 100 is the measured-good
-#: point the budget is set at.
-TPU_SCAN_TRANSITION_BUDGET = 100
+#: Per-program WORK budget for realistic-n GP densities on TPU, in
+#: (vmapped chains) x (scan steps) x n^3 units — one density evaluation
+#: costs ~n^3/3 MACs, so this scalar tracks the compute a single
+#: program enqueues. Round-4 bisection on one v5e (n^3(4096)=6.9e10):
+#: 4 chains x 25 steps at n=4096 (6.9e12) and 8 x 20 (1.1e13) complete;
+#: 8 x 25 at n=4096 (1.4e13) and 4 x 25 at n=8192 (5.5e13) crash the
+#: TPU runtime. The budget sits at the top of the measured safe region.
+#: (Round 3 ran 1.1e14 in one program — the runtime envelope regressed;
+#: treat this as an empirical runtime limit, not a hardware law.)
+TPU_SCAN_WORK_BUDGET = 1.1e13
 MAX_SCAN_SEGMENT = 25
 
 
 def _auto_scan_segment(logp, chains_per_program: int = 4):
     """Per-program scan length for the measured TPU runtime limit, or
     None. Applies under the same conditions as :func:`_auto_chain_batch`
-    (stamped GP density, accelerator backend); the segment shrinks as
-    the per-program chain width grows, holding width x length inside
-    :data:`TPU_SCAN_TRANSITION_BUDGET`."""
+    (stamped GP density, accelerator backend); the segment shrinks with
+    per-program chain width AND the density's n^3 cost, holding
+    width x length x n^3 inside :data:`TPU_SCAN_WORK_BUDGET` (floor: one
+    transition per program — at large n a single transition is seconds
+    of device time, so per-launch overhead is negligible)."""
     gp_n = getattr(logp, "gp_n", None)
     if gp_n is None or jax.default_backend() == "cpu":
         return None
-    return max(
-        4,
-        min(
-            MAX_SCAN_SEGMENT,
-            TPU_SCAN_TRANSITION_BUDGET // max(1, chains_per_program),
-        ),
-    )
+    per_step = max(1, chains_per_program) * float(gp_n) ** 3
+    return max(1, min(MAX_SCAN_SEGMENT, int(TPU_SCAN_WORK_BUDGET // per_step)))
 
 
 def _auto_chain_batch(logp, num_chains: int):

@@ -524,9 +524,7 @@ def test_scan_segmentation_is_exact():
 
 
 def test_auto_scan_segment_policy(monkeypatch):
-    from friedrich_tpu.mcmc.nuts import (
-        MAX_SCAN_SEGMENT, TPU_SCAN_TRANSITION_BUDGET, _auto_scan_segment,
-    )
+    from friedrich_tpu.mcmc.nuts import MAX_SCAN_SEGMENT, _auto_scan_segment
 
     toy = lambda t: -t @ t
     assert _auto_scan_segment(toy, 4) is None       # unstamped density
@@ -534,8 +532,9 @@ def test_auto_scan_segment_policy(monkeypatch):
     assert _auto_scan_segment(toy, 4) is None       # CPU backend
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert _auto_scan_segment(toy, 4) == MAX_SCAN_SEGMENT
-    # the segment shrinks with program width: width x length stays
-    # inside the measured budget
-    assert _auto_scan_segment(toy, 8) == TPU_SCAN_TRANSITION_BUDGET // 8
-    assert _auto_scan_segment(toy, 16) == TPU_SCAN_TRANSITION_BUDGET // 16
-    assert _auto_scan_segment(toy, 64) == 4         # floor
+    # width x length x n^3 stays inside the measured work budget
+    assert _auto_scan_segment(toy, 8) == 20   # the 8x20 measured-good point
+    toy.gp_n = 8192
+    assert _auto_scan_segment(toy, 4) == 5
+    toy.gp_n = 16384
+    assert _auto_scan_segment(toy, 2) == 1    # floor: one transition/program
