@@ -1,19 +1,24 @@
-"""Reproducer for the TPU-runtime kernel fault on wide vmapped NUTS
-programs (BASELINE.md round 3; VERDICT #8).
+"""Reproducer for the TPU-runtime kernel fault on over-large NUTS
+programs (BASELINE.md rounds 3-4; VERDICT #8).
 
-Measured envelope on one v5e chip: a single vmapped NUTS program over
-the streamed custom-VJP density runs at chains x n <= 32768 (8 x 4096,
-4 x 8192, 2 x 16384) and faults with an opaque UNAVAILABLE "kernel
-fault" (not a clean OOM) above it (16 x 4096, 8 x 8192).
-``sample_nuts`` now auto-batches above the envelope
-(``mcmc/nuts.py::TPU_CHAIN_ENVELOPE``); this script intentionally forces
-a SINGLE over-wide program (``chain_batch=num_chains``) to reproduce the
-fault, then demonstrates the auto-batched path succeeding with the same
+Round-4 bisection on one v5e: the fault tracks the WORK a single
+program enqueues — (vmapped chains) x (scan steps) x n^3 — with the
+measured safe budget ~1.1e13 (``mcmc/nuts.py::TPU_SCAN_WORK_BUDGET``).
+A crashed worker takes ~10 minutes to recover, so the mitigations are
+load-bearing: ``sample_nuts``/``sample_hmc`` auto-batch wide chain
+requests (``TPU_CHAIN_ENVELOPE``) AND segment warmup/sampling scans
+into short per-program launches (``scan_segment``, bitwise-identical
+results).
+
+This script intentionally forces ONE unbatched, unsegmented program
+(``chain_batch=num_chains, scan_segment=0``) to reproduce the fault,
+then demonstrates the auto-mitigated path succeeding on the same
 request.
 
-Expected output on the chip: the forced run errors; the auto run
-completes. If the forced run ever SUCCEEDS, the runtime ceiling has
-moved — re-measure the envelope and update TPU_CHAIN_ENVELOPE.
+Expected output on the chip: the forced run errors (and the script
+waits out the worker recovery); the auto run completes. If the forced
+run ever SUCCEEDS, the runtime ceiling has moved — re-measure and
+update TPU_SCAN_WORK_BUDGET.
 """
 import json
 import sys
@@ -51,13 +56,16 @@ def main(n=4096, chains=16, warmup=10, samples=10):
     logp = make_hyperparam_logprob(state, precision="f32")
     theta0 = initial_theta(state)
 
-    for tag, cb in (("forced_single_program", chains), ("auto", None)):
+    for tag, kw in (
+        ("forced_single_program",
+         {"chain_batch": chains, "scan_segment": 0}),
+        ("auto", {}),
+    ):
         try:
             t0 = time.perf_counter()
             res = sample_nuts(logp, theta0, jax.random.PRNGKey(0),
                               num_warmup=warmup, num_samples=samples,
-                              num_chains=chains, max_depth=6,
-                              chain_batch=cb)
+                              num_chains=chains, max_depth=6, **kw)
             jax.block_until_ready(res.samples)
             print(json.dumps({
                 "exp": "kernel_fault_repro", "mode": tag, "n": n,
@@ -70,6 +78,16 @@ def main(n=4096, chains=16, warmup=10, samples=10):
                 "chains": chains, "ok": False,
                 "error": str(e)[:200],
             }), flush=True)
+            if tag == "forced_single_program":
+                # the crashed worker takes ~10 min to come back; wait so
+                # the auto demonstration runs on a healthy chip
+                for _ in range(15):
+                    time.sleep(60)
+                    try:
+                        jnp.ones((256, 256)).sum().block_until_ready()
+                        break
+                    except Exception:  # noqa: BLE001
+                        continue
 
 
 if __name__ == "__main__":
