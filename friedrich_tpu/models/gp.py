@@ -189,6 +189,16 @@ _make_state_fused_dense = partial(
     jax.jit, static_argnames=_FUSED_STATICS
 )(_make_state_fused_body)
 
+#: (cap, backend, storage, precision) configs whose fused construction
+#: the compile stack rejected this process — later constructions use the
+#: eager composition directly.
+_FUSED_CONSTRUCT_UNAVAILABLE: set = set()
+
+
+class _FusedConstructSkip(Exception):
+    """Internal: route a memoized fused-construction failure to the
+    eager path without re-attempting the compile."""
+
 
 def make_state(
     kernel,
@@ -234,21 +244,55 @@ def make_state(
         # TPU link). The streamed variant threads a DONATED zeros
         # workspace to the factor chain (see _make_state_fused_streamed).
         noise_arr = jnp.asarray(noise, dtype=x.dtype)
-        if resolved == "streamed":
-            from ..ops.streamed import STORAGE_DTYPES
+        fused_key = (cap, resolved, storage, precision)
+        try:
+            if fused_key in _FUSED_CONSTRUCT_UNAVAILABLE:
+                raise _FusedConstructSkip()
+            if resolved == "streamed":
+                from ..ops.streamed import STORAGE_DTYPES
 
-            l0 = jnp.zeros(
-                (cap, cap), dtype=STORAGE_DTYPES[storage] or x.dtype
-            )
-            x_pad, r_pad, l_pad, ok = _make_state_fused_streamed(
-                kernel, prior, x, y, n_arr, noise_arr, l0,
-                cap=cap, eps=eps, method=method, backend=resolved,
-                storage=storage, block=block, precision=precision,
-            )
-        else:
-            x_pad, r_pad, l_pad, ok = _make_state_fused_dense(
-                kernel, prior, x, y, n_arr, noise_arr, None,
-                cap=cap, eps=eps, method=method, backend=resolved,
+                l0 = jnp.zeros(
+                    (cap, cap), dtype=STORAGE_DTYPES[storage] or x.dtype
+                )
+                x_pad, r_pad, l_pad, ok = _make_state_fused_streamed(
+                    kernel, prior, x, y, n_arr, noise_arr, l0,
+                    cap=cap, eps=eps, method=method, backend=resolved,
+                    storage=storage, block=block, precision=precision,
+                )
+            else:
+                x_pad, r_pad, l_pad, ok = _make_state_fused_dense(
+                    kernel, prior, x, y, n_arr, noise_arr, None,
+                    cap=cap, eps=eps, method=method, backend=resolved,
+                    storage=storage, block=block, precision=precision,
+                )
+        except Exception as e:  # noqa: BLE001
+            # at frontier sizes the single fused program can exceed what
+            # the compile stack accepts (measured: n=80k bf16 overflows
+            # HBM by ~340 MB at compile while the eager donate path
+            # fits) — fall back to the eager composition; memoize per
+            # configuration so later constructions skip the attempt
+            skip = isinstance(e, _FusedConstructSkip)
+            if not skip and not any(
+                s in str(e)
+                for s in ("remote_compile", "RESOURCE_EXHAUSTED",
+                          "Ran out of memory")
+            ):
+                raise
+            if not skip:
+                import warnings
+
+                warnings.warn(
+                    "fused state construction failed to compile "
+                    f"({str(e)[:120]}...); falling back to eager "
+                    "construction",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                _FUSED_CONSTRUCT_UNAVAILABLE.add(fused_key)
+            resid = y - prior.mean(x)
+            x_pad, r_pad = pad_capacity(x, resid, cap)
+            l_pad, ok = _build_factor(
+                kernel, x_pad, n_arr, noise, eps, method, resolved,
                 storage=storage, block=block, precision=precision,
             )
     else:

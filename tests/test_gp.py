@@ -267,3 +267,51 @@ def test_fused_constructor_matches_eager_path():
             np.testing.assert_allclose(
                 np.asarray(state.resid), np.asarray(r_pad), atol=0
             )
+
+
+def test_fused_constructor_falls_back_to_eager_on_compile_failure(monkeypatch):
+    """At frontier sizes the fused construction program can exceed what
+    the compile stack accepts (n=80k bf16: HBM overflow at compile) —
+    make_state must fall back to the eager composition, memoized per
+    configuration, and produce an identical state."""
+    from friedrich_tpu.models import gp as core
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(24, 2)))
+    y = jnp.sin(x[:, 0])
+    kern = fk.SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0))
+    want, ok_w = None, None
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory")
+
+    monkeypatch.setattr(core, "_FUSED_CONSTRUCT_UNAVAILABLE", set())
+    want, ok_w = core.make_state(kern, fp.ZeroPrior(), 0.3, x, y,
+                                 backend="streamed", block=8)
+    monkeypatch.setattr(core, "_make_state_fused_streamed", boom)
+    import warnings as w
+
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        got, ok_g = core.make_state(kern, fp.ZeroPrior(), 0.3, x, y,
+                                    backend="streamed", block=8)
+    assert bool(ok_g) and bool(ok_w)
+    np.testing.assert_array_equal(np.asarray(got.l), np.asarray(want.l))
+    # memoized: the second construction does not re-attempt the compile
+    with w.catch_warnings():
+        w.simplefilter("error")  # no new warning
+        got2, _ = core.make_state(kern, fp.ZeroPrior(), 0.3, x, y,
+                                  backend="streamed", block=8)
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(np.asarray(got2.l), np.asarray(want.l))
+
+    # unrelated errors still propagate
+    def boom2(*a, **k):
+        raise RuntimeError("something else")
+
+    monkeypatch.setattr(core, "_make_state_fused_streamed", boom2)
+    monkeypatch.setattr(core, "_FUSED_CONSTRUCT_UNAVAILABLE", set())
+    with pytest.raises(RuntimeError, match="something else"):
+        core.make_state(kern, fp.ZeroPrior(), 0.3, x, y,
+                        backend="streamed", block=8)
