@@ -64,6 +64,12 @@ def main(n=80_000, d=8, m=4096, subsample=10_000, noise=2.0,
             .set_dtype("float32")
             .set_backend("streamed")
         )
+        if n >= 60_000:
+            # the remote compile helper rejects the auto schedule's
+            # cap/10 panels at this size (HTTP 500); 4000-wide panels
+            # (auto solve/diag sub-blocking = 4) are the round-3-proven
+            # n=80k schedule (BASELINE.md: 1.408 s build+factor)
+            b = b.set_panel_block(4000)
         if storage != "none":
             b = b.set_factor_storage(storage)
         return (
