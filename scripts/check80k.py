@@ -85,11 +85,14 @@ def main(n=80_000, d=8, m=4096, subsample=10_000, noise=2.0,
     t_first = time.perf_counter() - t0
 
     # predict through the facade: first call derives the cached weights
-    # (one-time panel inverses + beta/alpha solves) and compiles
-    mean, var = gp.predict_in_batches(xq, batch_size=m)
+    # (beta/alpha solves) and compiles. At the 12.8 GB-factor frontier a
+    # 4096-wide sweep program exceeds HBM (measured: +1.16 GB over) —
+    # 1024-point chunks keep the strip buffers inside it.
+    bsz = min(m, 1024 if n >= 60_000 else m)
+    mean, var = gp.predict_in_batches(xq, batch_size=bsz)
     jax.block_until_ready((mean, var))
     t0 = time.perf_counter()
-    mean, var = gp.predict_in_batches(xq, batch_size=m)
+    mean, var = gp.predict_in_batches(xq, batch_size=bsz)
     jax.block_until_ready((mean, var))
     t_predict = time.perf_counter() - t0
     mean, var = np.asarray(mean), np.asarray(var)
