@@ -206,12 +206,20 @@ class GaussianProcess:
         return _predict_covariance(self._state, xq)
 
     def predict_in_batches(
-        self, inputs, batch_size: int = 8192
+        self, inputs, batch_size: Optional[int] = None
     ) -> tuple[Array, Array]:
         """(mean, variance) for very large query sets, processed in fixed
         chunks so the (n, m) covariance strip never exceeds
         ``capacity x batch_size`` — the serving path for bulk scoring.
-        The last chunk is zero-padded to keep a single compiled program."""
+        The last chunk is zero-padded to keep a single compiled program.
+
+        ``batch_size=None`` applies a capacity-aware default: 8192, but
+        1024 at frontier capacities (cap >= 60k) where the sweep
+        program's strip buffers alongside a ~13 GB factor otherwise
+        exceed a 16 GB chip (measured at n=80k bf16, BASELINE.md
+        round 4)."""
+        if batch_size is None:
+            batch_size = 1024 if self._state.capacity >= 60_000 else 8192
         xq, _ = self._query(inputs)
         m = xq.shape[0]
         means, variances = [], []

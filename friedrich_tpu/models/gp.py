@@ -504,14 +504,21 @@ class PredictWeights(NamedTuple):
     diag_inv: Optional[Array] = None
 
 
+#: Above this capacity the cached panel-inverse stack is skipped: at the
+#: single-chip frontier the factor occupies most of HBM and the inverse
+#: stack + its build temporaries push past it (measured: n=80k bf16,
+#: 12.8 GB factor + 1.28 GB inverses -> compile OOM by 1.16 GB). The
+#: sweeps then use per-panel TRSMs — the round-3-proven frontier path.
+PANEL_INVERSE_CAP = 60_000
+
+
 def derive_weights(state: GPState) -> PredictWeights:
     """Compute :class:`PredictWeights` (two m=1 sweeps + the panel
     inverses, O(n^2) + O(n b^2 /2) — amortized across predict batches)."""
     with jax.named_scope("gp/derive_weights"):
         diag_inv = None
-        if _use_blocked(state) and state.l.dtype in (
-            jnp.float32, jnp.bfloat16
-        ):
+        if _use_blocked(state) and state.capacity <= PANEL_INVERSE_CAP \
+                and state.l.dtype in (jnp.float32, jnp.bfloat16):
             from ..ops.blocked_solve import panel_inverses
 
             diag_inv = panel_inverses(state.l)
