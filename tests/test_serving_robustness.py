@@ -66,13 +66,16 @@ class TestMalformedTraffic:
         gp, port = server
         with _raw(port) as s:
             s.sendall(struct.pack("<II", 0xDEADBEEF, 0))
-            s.sendall(struct.pack("<QQ", 1, D))
-            s.sendall(b"\x00" * (8 * D))
-            # server closes without a response: clean FIN (b"") or RST
-            # (it may close with our unread payload still buffered)
+            # the server may close the moment it reads the bad magic —
+            # racing our remaining sends (EPIPE/RST is a PASS: the
+            # contract is no response, connection closed, server alive)
             try:
+                s.sendall(struct.pack("<QQ", 1, D))
+                s.sendall(b"\x00" * (8 * D))
+                # server closes without a response: clean FIN (b"") or
+                # RST (it may close with our unread payload buffered)
                 assert s.recv(1) == b""
-            except ConnectionResetError:
+            except (BrokenPipeError, ConnectionResetError):
                 pass
         _healthy(gp, port)
 
