@@ -31,4 +31,7 @@ JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py nuts \
 JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py fit \
     --backend streamed --n 512 --m 256 --max-iter 10
 echo "== TPU benchmark =="
-timeout 590 python bench.py
+# first-process compiles of the n=50k programs take minutes over the
+# remote helper (timed numbers exclude compile; the persistent cache
+# shortens reruns)
+timeout 3600 python bench.py
