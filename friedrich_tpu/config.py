@@ -86,6 +86,98 @@ def default_dtype() -> jnp.dtype:
     return jnp.float64 if x64_enabled() else jnp.float32
 
 
+# -- device-memory policy ---------------------------------------------------
+#
+# Every single-chip capacity constant in the library (panel-inverse cache
+# cap, frontier predict chunking, dense/streamed dispatch thresholds, MCMC
+# chain envelope) was MEASURED on a 16 GB v5e. Those numbers are wrong on a
+# 32 GB v5p or 95 GB v6e chip, so they are derived at first use from the
+# runtime device's actual HBM size (``memory_stats()["bytes_limit"]``),
+# falling back to the measured-reference 16 GB when the backend does not
+# report memory (CPU, some plugins). Users can pin any derived value with
+# :func:`set_memory_policy`.
+
+#: HBM size of the chip the library's capacity constants were measured on
+#: (16 GB v5e — BASELINE.md rounds 1-4).
+REFERENCE_HBM_BYTES = 16 * 2**30
+
+_hbm_bytes_cache: int | None = None
+_memory_policy_overrides: dict = {}
+
+#: Names accepted by :func:`set_memory_policy` (documented at their
+#: consumer sites: ``models/gp.py``, ``models/api.py``, ``mcmc/nuts.py``).
+MEMORY_POLICY_KNOBS = (
+    "panel_inverse_cap",      # models/gp.py — cached panel-inverse stack
+    "frontier_capacity",      # models/api.py — predict-batch chunk cliff
+    "auto_large_threshold",   # models/gp.py — dense->streamed dispatch
+    "chain_envelope",         # mcmc/nuts.py — chains x n per program
+    "scan_work_budget",       # mcmc/nuts.py — work units per scan program
+)
+
+
+def device_hbm_bytes() -> int:
+    """The accelerator's per-device memory budget in bytes.
+
+    Reads ``memory_stats()["bytes_limit"]`` from the first local device
+    (cached — devices do not change size mid-process); falls back to
+    :data:`REFERENCE_HBM_BYTES` when the backend reports nothing (CPU
+    virtual meshes report host RAM or nothing; the policy constants were
+    measured on the 16 GB reference chip, so that is the honest default).
+    """
+    global _hbm_bytes_cache
+    if _hbm_bytes_cache is None:
+        bytes_limit = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                bytes_limit = stats.get("bytes_limit")
+        except Exception:  # noqa: BLE001 — any backend without stats
+            bytes_limit = None
+        if not bytes_limit or jax.default_backend() == "cpu":
+            # CPU reports host RAM; the measured policy numbers assume the
+            # reference accelerator, and tests pin them — use the default
+            bytes_limit = REFERENCE_HBM_BYTES
+        _hbm_bytes_cache = int(bytes_limit)
+    return _hbm_bytes_cache
+
+
+def memory_scale() -> float:
+    """``device_hbm_bytes() / REFERENCE_HBM_BYTES`` — the factor by which
+    the running chip's HBM exceeds the chip the policy constants were
+    measured on. Capacity thresholds whose footprint is O(cap^2) scale by
+    ``sqrt(memory_scale())``; per-program state budgets scale linearly."""
+    return device_hbm_bytes() / REFERENCE_HBM_BYTES
+
+
+def set_memory_policy(**knobs) -> None:
+    """Pin one or more derived capacity constants, overriding the
+    device-scaled defaults. ``set_memory_policy(panel_inverse_cap=90_000)``;
+    pass ``None`` to restore a knob's derived default. Valid names:
+    :data:`MEMORY_POLICY_KNOBS`."""
+    for name, value in knobs.items():
+        if name not in MEMORY_POLICY_KNOBS:
+            raise ValueError(
+                f"unknown memory-policy knob {name!r}; valid: "
+                f"{MEMORY_POLICY_KNOBS}"
+            )
+        if value is None:
+            _memory_policy_overrides.pop(name, None)
+        else:
+            _memory_policy_overrides[name] = value
+
+
+def memory_policy_override(name: str):
+    """The pinned value for ``name``, or None when derived (internal)."""
+    return _memory_policy_overrides.get(name)
+
+
+def _reset_memory_policy_for_testing(hbm_bytes=None) -> None:
+    """Reset caches and optionally mock the device HBM size (tests only)."""
+    global _hbm_bytes_cache
+    _hbm_bytes_cache = hbm_bytes
+    _memory_policy_overrides.clear()
+
+
 #: MXU matmul precision modes (see :func:`matmul_precision`).
 MATMUL_PRECISION_MODES = {
     "bf16": "bfloat16",   # 1 MXU pass: operands rounded to bfloat16

@@ -35,6 +35,50 @@ class WarmupResult(NamedTuple):
     inv_mass: Array
 
 
+def check_adaptation_batch(step_size, inv_mass, num_chains, chain_batch):
+    """Validate resumed adaptation arrays against this call's batching.
+
+    Batched runs (``chain_batch < num_chains``) consume a leading batch
+    axis on ``step_size``/``inv_mass`` positionally; unbatched runs expect
+    a scalar step size and (dim,) mass. JAX clamps out-of-bounds integer
+    indexing, so without this check resuming with adaptation saved under a
+    DIFFERENT chain_batch silently recycles the wrong batch's step size and
+    mass instead of raising. Shared by ``sample_nuts`` and ``sample_hmc``.
+    """
+    batched = chain_batch is not None and num_chains > chain_batch
+    if batched:
+        nb = num_chains // chain_batch
+        if step_size is not None and jnp.ndim(step_size) > 0 \
+                and step_size.shape[0] != nb:
+            raise ValueError(
+                f"batched step_size has {step_size.shape[0]} rows but "
+                f"num_chains={num_chains} / chain_batch={chain_batch} "
+                f"= {nb} batches; resume with the same chain_batch the "
+                f"adaptation was produced with"
+            )
+        if inv_mass is not None and jnp.ndim(inv_mass) > 1 \
+                and inv_mass.shape[0] != nb:
+            raise ValueError(
+                f"batched inv_mass has {inv_mass.shape[0]} rows but "
+                f"num_chains={num_chains} / chain_batch={chain_batch} "
+                f"= {nb} batches; resume with the same chain_batch the "
+                f"adaptation was produced with"
+            )
+    else:
+        if step_size is not None and jnp.ndim(step_size) > 0:
+            raise ValueError(
+                f"step_size has a leading batch axis (shape "
+                f"{jnp.shape(step_size)}) but this run is unbatched; pass "
+                f"the chain_batch the adaptation was produced with"
+            )
+        if inv_mass is not None and jnp.ndim(inv_mass) > 1:
+            raise ValueError(
+                f"inv_mass has a leading batch axis (shape "
+                f"{jnp.shape(inv_mass)}) but this run is unbatched; pass "
+                f"the chain_batch the adaptation was produced with"
+            )
+
+
 def _da_phase(
     step_fn, carry0, get_positions, num_steps, inv_mass, dim, dtype, key,
     init_step_size, pool_mean, pool_sum, welford_from, segment=None,

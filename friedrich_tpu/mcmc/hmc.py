@@ -23,7 +23,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ._adapt import DA_GAMMA, DA_KAPPA, DA_T0, TARGET_ACCEPT, dual_averaging_warmup
+from ._adapt import (
+    DA_GAMMA,
+    DA_KAPPA,
+    DA_T0,
+    TARGET_ACCEPT,
+    check_adaptation_batch,
+    dual_averaging_warmup,
+)
 
 Array = jnp.ndarray
 
@@ -112,6 +119,7 @@ def sample_hmc(
                 f"chain_batch={chain_batch} must divide "
                 f"num_chains={num_chains}"
             )
+        check_adaptation_batch(step_size, inv_mass, num_chains, chain_batch)
         results = []
         for bi in range(num_chains // chain_batch):
             key, sub = jax.random.split(key)
@@ -143,6 +151,7 @@ def sample_hmc(
                 [r.final_logp for r in results], axis=0
             ),
         )
+    check_adaptation_batch(step_size, inv_mass, num_chains, chain_batch)
     dim = init_theta.shape[-1]
     dtype = init_theta.dtype
     val_grad = jax.value_and_grad(logp)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ._adapt import dual_averaging_warmup
+from ._adapt import check_adaptation_batch, dual_averaging_warmup
 
 Array = jnp.ndarray
 
@@ -61,6 +61,31 @@ TPU_SCAN_WORK_BUDGET = 1.1e13
 MAX_SCAN_SEGMENT = 25
 
 
+def _chain_envelope() -> int:
+    """The effective chains x n envelope: the measured reference-chip
+    default, or the user's ``config.set_memory_policy(chain_envelope=...)``
+    pin. Deliberately NOT auto-scaled from ``memory_stats``: the envelope
+    is a measured TPU-runtime fault boundary (opaque kernel fault, not an
+    OOM), so deriving it from HBM size on an unseen chip would be a
+    guess presented as measurement — users on larger chips raise it
+    explicitly and re-probe with ``scripts/repro_kernel_fault.py``."""
+    from .. import config
+
+    override = config.memory_policy_override("chain_envelope")
+    return int(override) if override is not None else TPU_CHAIN_ENVELOPE
+
+
+def _scan_work_budget() -> float:
+    """The effective per-program scan work budget (see
+    :data:`TPU_SCAN_WORK_BUDGET`); override with
+    ``config.set_memory_policy(scan_work_budget=...)`` — same
+    measured-fault-boundary rationale as :func:`_chain_envelope`."""
+    from .. import config
+
+    override = config.memory_policy_override("scan_work_budget")
+    return float(override) if override is not None else TPU_SCAN_WORK_BUDGET
+
+
 def _auto_scan_segment(logp, chains_per_program: int = 4):
     """Per-program scan length for the measured TPU runtime limit, or
     None. Applies under the same conditions as :func:`_auto_chain_batch`
@@ -73,7 +98,9 @@ def _auto_scan_segment(logp, chains_per_program: int = 4):
     if gp_n is None or jax.default_backend() == "cpu":
         return None
     per_step = max(1, chains_per_program) * float(gp_n) ** 3
-    return max(1, min(MAX_SCAN_SEGMENT, int(TPU_SCAN_WORK_BUDGET // per_step)))
+    return max(
+        1, min(MAX_SCAN_SEGMENT, int(_scan_work_budget() // per_step))
+    )
 
 
 def _auto_chain_batch(logp, num_chains: int):
@@ -82,14 +109,14 @@ def _auto_chain_batch(logp, num_chains: int):
     Applies only when the density advertises its GP size (``logp.gp_n``,
     set by the ``make_*_hyperparam_logprob`` factories) and the default
     backend is an accelerator; picks the largest divisor of
-    ``num_chains`` whose program stays inside ``TPU_CHAIN_ENVELOPE``.
+    ``num_chains`` whose program stays inside :func:`_chain_envelope`.
     """
     gp_n = getattr(logp, "gp_n", None)
     if gp_n is None or num_chains <= 1:
         return None
     if jax.default_backend() == "cpu":
         return None
-    limit = max(1, TPU_CHAIN_ENVELOPE // int(gp_n))
+    limit = max(1, _chain_envelope() // int(gp_n))
     if num_chains <= limit:
         return None
     for c in range(limit, 0, -1):
@@ -397,23 +424,7 @@ def sample_nuts(
         # validate the leading batch axis against this call's batch count
         # so a mismatched chain_batch cannot silently recycle the wrong
         # step size / mass per chain group
-        nb = num_chains // chain_batch
-        if step_size is not None and jnp.ndim(step_size) > 0 \
-                and step_size.shape[0] != nb:
-            raise ValueError(
-                f"batched step_size has {step_size.shape[0]} rows but "
-                f"num_chains={num_chains} / chain_batch={chain_batch} "
-                f"= {nb} batches; resume with the same chain_batch the "
-                f"adaptation was produced with"
-            )
-        if inv_mass is not None and jnp.ndim(inv_mass) > 1 \
-                and inv_mass.shape[0] != nb:
-            raise ValueError(
-                f"batched inv_mass has {inv_mass.shape[0]} rows but "
-                f"num_chains={num_chains} / chain_batch={chain_batch} "
-                f"= {nb} batches; resume with the same chain_batch the "
-                f"adaptation was produced with"
-            )
+        check_adaptation_batch(step_size, inv_mass, num_chains, chain_batch)
         results = []
         for bi in range(num_chains // chain_batch):
             key, sub = jax.random.split(key)
@@ -449,18 +460,7 @@ def sample_nuts(
     # unbatched run: adaptation must be a scalar step size / (dim,) mass —
     # a leading batch axis here means the arrays came from a chain_batch
     # run and would be consumed as per-chain values silently
-    if step_size is not None and jnp.ndim(step_size) > 0:
-        raise ValueError(
-            f"step_size has a leading batch axis (shape "
-            f"{jnp.shape(step_size)}) but this run is unbatched; pass "
-            f"the chain_batch the adaptation was produced with"
-        )
-    if inv_mass is not None and jnp.ndim(inv_mass) > 1:
-        raise ValueError(
-            f"inv_mass has a leading batch axis (shape "
-            f"{jnp.shape(inv_mass)}) but this run is unbatched; pass "
-            f"the chain_batch the adaptation was produced with"
-        )
+    check_adaptation_batch(step_size, inv_mass, num_chains, chain_batch)
     dim = init_theta.shape[-1]
     dtype = init_theta.dtype
     val_grad = jax.value_and_grad(logp)

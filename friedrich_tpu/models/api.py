@@ -214,12 +214,19 @@ class GaussianProcess:
         The last chunk is zero-padded to keep a single compiled program.
 
         ``batch_size=None`` applies a capacity-aware default: 8192, but
-        1024 at frontier capacities (cap >= 60k) where the sweep
-        program's strip buffers alongside a ~13 GB factor otherwise
-        exceed a 16 GB chip (measured at n=80k bf16, BASELINE.md
-        round 4)."""
+        1024 at frontier capacities where the sweep program's strip
+        buffers alongside a ~13 GB factor otherwise exceed the chip
+        (measured at n=80k bf16 on the 16 GB reference chip, BASELINE.md
+        round 4; the cliff scales with sqrt(HBM) via
+        :func:`friedrich_tpu.config.memory_scale` — pin with
+        ``config.set_memory_policy(frontier_capacity=...)``)."""
         if batch_size is None:
-            batch_size = 1024 if self._state.capacity >= 60_000 else 8192
+            from .. import config
+
+            frontier = config.memory_policy_override("frontier_capacity")
+            if frontier is None:
+                frontier = int(60_000 * config.memory_scale() ** 0.5)
+            batch_size = 1024 if self._state.capacity >= frontier else 8192
         xq, _ = self._query(inputs)
         m = xq.shape[0]
         means, variances = [], []

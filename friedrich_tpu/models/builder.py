@@ -63,6 +63,7 @@ class GaussianProcessBuilder:
         # set_fit_subsample(None) restores the reference's per-iteration
         # full-rebuild flow at any size.
         self._fit_subsample = "auto"
+        self._auto_subfit_notified = False
         self._fit_gradient = "auto"
 
     # -- setters (builder.rs:102-182) ----------------------------------------
@@ -285,12 +286,31 @@ class GaussianProcessBuilder:
         """The effective sub-fit size for train(), or None for the
         reference flow."""
         sub = self._fit_subsample
-        if sub == "auto":
+        was_auto = sub == "auto"
+        if was_auto:
             from .optimizer import auto_subsample
 
             sub = auto_subsample(n)
         if sub is not None and sub >= n:
             sub = None
+        if was_auto and sub is not None and not self._auto_subfit_notified:
+            # one-time notice: the default policy deviates from the
+            # reference flow at large n (documented in COMPAT.md; measured
+            # in BASELINE.md's sensitivity study) — surface it at runtime
+            # so large-n users know hyperparameters were fitted on a
+            # subset, and how to restore the reference behavior
+            import logging
+
+            logging.getLogger("friedrich_tpu").info(
+                "train(): n=%d exceeds the sub-fit threshold; "
+                "hyperparameters will be fitted on a %d-point subset and "
+                "the full-n model built once at the fitted values "
+                "(measured default — better LML and ~6x faster than the "
+                "reference flow at n=50k; call set_fit_subsample(None) "
+                "for the reference's full-data per-iteration fit)",
+                n, sub,
+            )
+            self._auto_subfit_notified = True
         return sub
 
     def _train_subfit_first(self, x, y, kernel, sub: int) -> GaussianProcess:

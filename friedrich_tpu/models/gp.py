@@ -104,8 +104,27 @@ def pad_capacity(x: Array, y_resid: Array, cap: int) -> tuple[Array, Array]:
     return x_pad, r_pad
 
 
-#: "auto" backend switches from dense to the large-n factorizer here.
+#: "auto" backend switches from dense to the large-n factorizer here
+#: (measured on the 16 GB reference chip; see :func:`auto_large_threshold`
+#: for the device-scaled value actually consulted).
 _AUTO_LARGE_THRESHOLD = 8192
+
+
+def auto_large_threshold() -> int:
+    """Device-scaled dense->streamed dispatch capacity.
+
+    The dense backend materializes the cap^2 covariance and factor as
+    whole-array programs — an O(cap^2)-HBM footprint — so the measured
+    16 GB-chip threshold (:data:`_AUTO_LARGE_THRESHOLD` = 8192) scales
+    with sqrt(HBM). Pin with
+    ``config.set_memory_policy(auto_large_threshold=...)``.
+    """
+    from .. import config
+
+    override = config.memory_policy_override("auto_large_threshold")
+    if override is not None:
+        return int(override)
+    return int(_AUTO_LARGE_THRESHOLD * config.memory_scale() ** 0.5)
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend,
@@ -123,7 +142,7 @@ def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
         # Above the dense threshold the trace-time-unrolled streamed
         # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
         # and peak HBM (single L buffer) — see ops/streamed.py.
-        backend = "streamed" if x_pad.shape[0] > _AUTO_LARGE_THRESHOLD else "dense"
+        backend = "streamed" if x_pad.shape[0] > auto_large_threshold() else "dense"
     if storage is not None and backend != "streamed":
         from ..utils.errors import ConfigError
 
@@ -237,7 +256,7 @@ def make_state(
         block = tuple(block)
     resolved = backend
     if resolved == "auto":
-        resolved = "streamed" if cap > _AUTO_LARGE_THRESHOLD else "dense"
+        resolved = "streamed" if cap > auto_large_threshold() else "dense"
     if resolved in ("dense", "streamed"):
         # ONE program for residualize + pad + build + factor: each eager
         # dispatch is a full runtime round trip (expensive over a remote
@@ -507,9 +526,27 @@ class PredictWeights(NamedTuple):
 #: Above this capacity the cached panel-inverse stack is skipped: at the
 #: single-chip frontier the factor occupies most of HBM and the inverse
 #: stack + its build temporaries push past it (measured: n=80k bf16,
-#: 12.8 GB factor + 1.28 GB inverses -> compile OOM by 1.16 GB). The
-#: sweeps then use per-panel TRSMs — the round-3-proven frontier path.
+#: 12.8 GB factor + 1.28 GB inverses -> compile OOM by 1.16 GB on the
+#: 16 GB reference chip). The sweeps then use per-panel TRSMs — the
+#: round-3-proven frontier path. :func:`panel_inverse_cap` is the
+#: device-scaled value actually consulted.
 PANEL_INVERSE_CAP = 60_000
+
+
+def panel_inverse_cap() -> int:
+    """Device-scaled capacity limit for the cached panel-inverse stack.
+
+    The contested resource is HBM beside the O(cap^2) factor, so the
+    measured 16 GB-chip cap (:data:`PANEL_INVERSE_CAP` = 60k) scales with
+    sqrt(HBM) — a 64 GB chip keeps the fast pure-GEMM sweeps to cap~120k.
+    Pin with ``config.set_memory_policy(panel_inverse_cap=...)``.
+    """
+    from .. import config
+
+    override = config.memory_policy_override("panel_inverse_cap")
+    if override is not None:
+        return int(override)
+    return int(PANEL_INVERSE_CAP * config.memory_scale() ** 0.5)
 
 
 def derive_weights(state: GPState) -> PredictWeights:
@@ -517,7 +554,7 @@ def derive_weights(state: GPState) -> PredictWeights:
     inverses, O(n^2) + O(n b^2 /2) — amortized across predict batches)."""
     with jax.named_scope("gp/derive_weights"):
         diag_inv = None
-        if _use_blocked(state) and state.capacity <= PANEL_INVERSE_CAP \
+        if _use_blocked(state) and state.capacity <= panel_inverse_cap() \
                 and state.l.dtype in (jnp.float32, jnp.bfloat16):
             from ..ops.blocked_solve import panel_inverses
 

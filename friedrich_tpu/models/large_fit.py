@@ -262,6 +262,11 @@ def fit_kernel_noise_large(
     per-iteration checks. Passing a ``fit_log`` keeps the per-iteration
     loop (each record needs host values anyway).
     """
+    if sync_every < 1:
+        raise ValueError(
+            f"sync_every must be >= 1, got {sync_every} (1 = check "
+            f"convergence/max_time every iteration)"
+        )
     scalable = state.kernel.is_scalable
     kparams = jnp.where(state.kernel.get_params() == 0.0, ADAM_EPS,
                         state.kernel.get_params())
@@ -277,12 +282,12 @@ def fit_kernel_noise_large(
     conv = jnp.asarray(convergence_fraction, dtype=params.dtype)
     t0 = time.monotonic()
     if fit_log is None:
-        from .gp import _AUTO_LARGE_THRESHOLD
+        from .gp import auto_large_threshold
 
         resolved = state.backend
         if resolved == "auto":
             resolved = (
-                "streamed" if state.capacity > _AUTO_LARGE_THRESHOLD
+                "streamed" if state.capacity > auto_large_threshold()
                 else "dense"
             )
         step_fn = (

@@ -302,6 +302,11 @@ def fit_kernel_noise(
     """
     if gradient not in ("auto", "exact", "hutchinson"):
         raise ValueError(f"unknown gradient method {gradient!r}")
+    if sync_every < 1:
+        raise ValueError(
+            f"sync_every must be >= 1, got {sync_every} (1 = check "
+            f"convergence/max_time every iteration)"
+        )
     if gradient == "auto":
         gradient = (
             "hutchinson" if state.capacity > LARGE_FIT_THRESHOLD else "exact"

@@ -309,9 +309,18 @@ class AcceleratedGPServer:
         out: dict = {}
         ev = threading.Event()
         with self._cond:
+            if self._closing:
+                # the dispatcher may already have drained and exited; an
+                # enqueue now would wait forever
+                raise RuntimeError("server is closing")
             self._pending.append((xq, out, ev))
             self._cond.notify()
-        ev.wait()
+        # bounded waits so a dead dispatcher cannot hang the connection
+        # thread forever: if the dispatcher thread exits (close() or a
+        # crash) while our event is unset, fail the request instead
+        while not ev.wait(timeout=1.0):
+            if not self._dispatcher.is_alive() and not ev.is_set():
+                raise RuntimeError("dispatcher exited before answering")
         if "error" in out:
             raise out["error"]
         return out["mean"], out["var"]
@@ -341,15 +350,19 @@ class AcceleratedGPServer:
                 self._run_chunk(chunk, total)
 
     def _run_chunk(self, chunk, total: int) -> None:
-        bucket = self._min_bucket
-        while bucket < total:
-            bucket *= 2
-        xs = [c[0] for c in chunk]
-        if bucket > total:
-            # pad with copies of the first row; results are discarded
-            xs.append(np.repeat(xs[0][:1], bucket - total, axis=0))
-        xq = np.concatenate(xs, axis=0).astype(self._x_dtype)
+        # the WHOLE body runs under try: an exception in the bucket
+        # padding/concatenate (not just the model call) must be delivered
+        # to the waiters, not kill the dispatcher thread — a dead
+        # dispatcher would leave every later _predict blocked
         try:
+            bucket = self._min_bucket
+            while bucket < total:
+                bucket *= 2
+            xs = [c[0] for c in chunk]
+            if bucket > total:
+                # pad with copies of the first row; results are discarded
+                xs.append(np.repeat(xs[0][:1], bucket - total, axis=0))
+            xq = np.concatenate(xs, axis=0).astype(self._x_dtype)
             mean, var = self._model.predict_mean_variance(xq)
             mean = np.asarray(mean, dtype=np.float64)
             var = np.asarray(var, dtype=np.float64)

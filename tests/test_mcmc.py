@@ -400,6 +400,53 @@ def test_nuts_batched_resume_shape_validation():
     assert res.samples.shape == (5, 8, 2)
 
 
+def test_hmc_batched_resume_shape_validation():
+    """sample_hmc shares sample_nuts' adaptation-batch validation (ADVICE
+    r4 medium: JAX's clamped indexing would otherwise silently recycle
+    the last batch's step size/mass on a mismatched resume)."""
+    from friedrich_tpu.mcmc import sample_hmc
+
+    logp = lambda x: -0.5 * x @ x
+    key = jax.random.PRNGKey(0)
+    theta = jnp.zeros((8, 2))
+    ss = jnp.asarray([0.5, 0.6])          # 2 batches worth
+    im = jnp.ones((2, 2))
+
+    with pytest.raises(ValueError, match="batched step_size"):
+        sample_hmc(logp, theta, key, num_samples=5, num_chains=8,
+                   chain_batch=2, step_size=ss, inv_mass=im)
+    with pytest.raises(ValueError, match="batched inv_mass"):
+        sample_hmc(logp, theta, key, num_samples=5, num_chains=8,
+                   chain_batch=2, step_size=jnp.asarray([0.5] * 4),
+                   inv_mass=im)
+    # batched arrays passed to an unbatched run
+    with pytest.raises(ValueError, match="unbatched"):
+        sample_hmc(logp, theta, key, num_samples=5, num_chains=8,
+                   step_size=ss, inv_mass=im)
+    res = sample_hmc(logp, theta, key, num_samples=5, num_chains=8,
+                     num_leapfrog=2, chain_batch=4, step_size=ss,
+                     inv_mass=im)
+    assert res.samples.shape == (5, 8, 2)
+
+
+def test_fit_sync_every_validated():
+    """sync_every < 1 must raise a clear configuration error up front,
+    not a ZeroDivisionError mid-fit (ADVICE r4)."""
+    import friedrich_tpu.kernels as fk
+    import friedrich_tpu.priors as fp
+    from friedrich_tpu.models import gp as core
+    from friedrich_tpu.models.optimizer import fit_kernel_noise
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 2)))
+    y = jnp.sin(x[:, 0])
+    kern = fk.SquaredExp(ls=jnp.asarray(1.0), ampl=jnp.asarray(1.0))
+    state, _ = core.make_state(kern, fp.ZeroPrior(), jnp.asarray(0.2), x, y)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="sync_every"):
+            fit_kernel_noise(state, max_iter=2, sync_every=bad)
+
+
 def test_auto_chain_batch_envelope_policy(monkeypatch):
     """sample_nuts auto-batches above the measured TPU envelope: the
     density factories stamp their GP size on the function, and on an
