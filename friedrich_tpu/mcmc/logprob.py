@@ -57,6 +57,7 @@ def make_hyperparam_logprob(
     num_probes: int = 16,
     probe_seed: int = 0,
     precision: Optional[str] = None,
+    unroll: Optional[bool] = None,
 ) -> Callable[[Array], Array]:
     """Return ``logp(theta)`` over log-magnitude hyperparameters.
 
@@ -71,7 +72,11 @@ def make_hyperparam_logprob(
     fixed-probe Hutchinson traces — see
     :func:`make_streamed_hyperparam_logprob`), or ``"auto"`` (default:
     by capacity, threshold :data:`STREAMED_LOGPROB_THRESHOLD`).
-    ``num_probes``/``probe_seed`` configure the streamed gradient.
+    ``num_probes``/``probe_seed`` configure the streamed gradient;
+    ``unroll`` selects the streamed density's program shape (see
+    :func:`make_streamed_hyperparam_logprob` — ``None`` auto-selects the
+    constant-size fori programs at/above
+    :data:`FORI_DENSITY_THRESHOLD`).
 
     ``precision``: MXU matmul precision for the density's linear algebra
     (``friedrich_tpu.config.MATMUL_PRECISION_MODES``). On TPU the
@@ -93,7 +98,7 @@ def make_hyperparam_logprob(
         return make_streamed_hyperparam_logprob(
             state, prior_mu=prior_mu, prior_sigma=prior_sigma, signs=signs,
             num_probes=num_probes, probe_seed=probe_seed,
-            precision=precision,
+            precision=precision, unroll=unroll,
         )
     if precision is not None:
         from ..config import MATMUL_PRECISION_MODES
@@ -166,6 +171,20 @@ def _make_dense_logprob_impl(
     return logp
 
 
+#: At and above this capacity the streamed density builds its
+#: factorization and sweeps from the CONSTANT-PROGRAM-SIZE fori_loop
+#: variants instead of the trace-time-unrolled ones. The unrolled panel
+#: program is FLOP-optimal but its size grows with the panel count, and
+#: once the NUTS tree recursion and scan segments multiply it the remote
+#: TPU compiler never returns (measured round 4: the cap-8192 segmented
+#: NUTS program sat in compilation for 75 minutes; the cap-4096 one
+#: compiles fine). The fori variants pay ~3x the downdate MACs for a
+#: program whose size is independent of capacity — at cap >= 8k the
+#: density is seconds of device time per transition either way, and a
+#: program that compiles in minutes beats an optimal one that never does.
+FORI_DENSITY_THRESHOLD = 8192
+
+
 def make_streamed_hyperparam_logprob(
     state: GPState,
     prior_mu: float = 0.0,
@@ -175,6 +194,7 @@ def make_streamed_hyperparam_logprob(
     num_probes: int = 16,
     probe_seed: int = 0,
     precision: Optional[str] = None,
+    unroll: Optional[bool] = None,
 ) -> Callable[[Array], Array]:
     """``logp(theta)`` whose inner factorization is the single-device
     STREAMED build+factor (K never materialized) with blocked panel
@@ -199,6 +219,15 @@ def make_streamed_hyperparam_logprob(
     stationary distribution; probe noise perturbs only proposal quality.
     Autodiff through the unrolled panel program would instead checkpoint
     every panel strip per leapfrog step (cap^2 extra per chain).
+
+    ``unroll``: program-shape selection for the density's inner
+    factorization and sweeps. ``True`` = trace-time-unrolled
+    (FLOP-optimal, program size grows with the panel count), ``False`` =
+    constant-program-size ``fori_loop`` variants, ``None`` (default) =
+    unrolled below :data:`FORI_DENSITY_THRESHOLD`, fori at/above it —
+    the round-4 cap-8192 NUTS program never came back from the remote
+    compiler with the unrolled density inlined into the tree recursion
+    and scan segments (see the threshold's docstring).
     """
     from ..ops.blocked_solve import (
         blocked_cho_solve,
@@ -228,6 +257,9 @@ def make_streamed_hyperparam_logprob(
     live_col = (jnp.arange(cap) < n_live)[:, None]
     probes = jnp.where(live_col, probes, 0.0)
 
+    if unroll is None:
+        unroll = cap < FORI_DENSITY_THRESHOLD
+
     import contextlib
 
     if precision is None:
@@ -251,12 +283,24 @@ def make_streamed_hyperparam_logprob(
     def _forward(theta):
         raw, kernel, noise = _rebuild(theta)
         l_pad, ok = streamed_cholesky_factor(
-            kernel, x_pad, n_live, noise, eps=eps, block=block, method=method
+            kernel, x_pad, n_live, noise, eps=eps, block=block,
+            method=method, unroll=unroll,
         )
-        diag_inv = panel_inverses(l_pad) if dtype == jnp.float32 else None
-        ol = blocked_solve_lower(l_pad, resid[:, None], diag_inv=diag_inv)[:, 0]
-        alpha = blocked_solve_lower_t(l_pad, ol[:, None], diag_inv=diag_inv)[:, 0]
-        kinv_z = blocked_cho_solve(l_pad, probes, diag_inv=diag_inv)
+        # fori sweeps take no panel-inverse cache (their diagonal solves
+        # are per-panel TRSMs inside the constant-size body)
+        diag_inv = (
+            panel_inverses(l_pad)
+            if dtype == jnp.float32 and unroll else None
+        )
+        ol = blocked_solve_lower(
+            l_pad, resid[:, None], unroll=unroll, diag_inv=diag_inv
+        )[:, 0]
+        alpha = blocked_solve_lower_t(
+            l_pad, ol[:, None], unroll=unroll, diag_inv=diag_inv
+        )[:, 0]
+        kinv_z = blocked_cho_solve(
+            l_pad, probes, unroll=unroll, diag_inv=diag_inv
+        )
         data_fit = jnp.sum(ol * ol)
         live = jnp.arange(cap) < n_live
         logdet = 2.0 * jnp.sum(

@@ -128,16 +128,18 @@ def auto_large_threshold() -> int:
 
 
 def _build_factor(kernel, x_pad, n_arr, noise, eps, method, backend,
-                  l0=None, storage=None, block=None, precision=None):
+                  l0=None, storage=None, block=None, precision=None,
+                  unroll=None):
     with jax.named_scope(f"gp/build_factor[{backend}]"):
         return _build_factor_impl(
             kernel, x_pad, n_arr, noise, eps, method, backend, l0, storage,
-            block, precision,
+            block, precision, unroll,
         )
 
 
 def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
-                       l0=None, storage=None, block=None, precision=None):
+                       l0=None, storage=None, block=None, precision=None,
+                       unroll=None):
     if backend == "auto":
         # Above the dense threshold the trace-time-unrolled streamed
         # factorizer wins on both FLOPs (~0.39 n^3 vs hybrid's ~0.65 n^3)
@@ -164,6 +166,7 @@ def _build_factor_impl(kernel, x_pad, n_arr, noise, eps, method, backend,
         return streamed_cholesky_factor(
             kernel, x_pad, n_arr, noise, eps=eps, method=method, l0=l0,
             storage=storage, block=block, precision=precision,
+            unroll=unroll,
         )
     if backend == "tiled":
         from ..ops.tiled import tiled_cholesky_factor
@@ -340,14 +343,21 @@ def make_state(
 
 
 def rebuild_cholesky(state: GPState,
-                     reuse_buffer: bool = False) -> tuple[GPState, Array]:
+                     reuse_buffer: bool = False,
+                     unroll=None) -> tuple[GPState, Array]:
     """Re-factor the training covariance for the current hyperparameters
     (the per-iteration rebuild at ``optimizer.rs:133-136,267-270``).
 
     ``reuse_buffer=True`` donates the CURRENT factor's buffer as the new
     factor's workspace on host-level streamed-unrolled rebuilds (the old
     ``state`` must not be used afterwards) — avoids holding old + new L
-    at once, which would double peak HBM at large n."""
+    at once, which would double peak HBM at large n.
+
+    ``unroll``: streamed-backend program-shape override (see
+    ``ops/streamed.streamed_cholesky_factor``) — ``False`` selects the
+    constant-program-size fori factorizer; callers embedding the rebuild
+    in larger fused programs use it to stay inside the remote compiler's
+    program-size envelope."""
     l_pad, ok = _build_factor(
         state.kernel, state.x, state.n, state.noise, state.eps, state.method,
         state.backend,
@@ -355,6 +365,7 @@ def rebuild_cholesky(state: GPState,
         storage=state.storage,
         block=state.block,
         precision=state.precision,
+        unroll=unroll,
     )
     return state.replace(l=l_pad), ok
 

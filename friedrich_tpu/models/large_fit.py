@@ -73,16 +73,40 @@ def make_probes(state: GPState, num_probes: int, seed: int) -> Array:
     return jnp.where(live, probes, 0.0)
 
 
-def _solves(state: GPState, rhs: Array) -> Array:
+#: Above this capacity the FUSED fit step builds its gradient solves from
+#: the constant-program-size fori sweeps instead of the trace-time-unrolled
+#: ones (+ panel-inverse cache). The unrolled sweeps add ~2 x cap/block
+#: panel bodies to the fused program, and at frontier capacities that
+#: program (solves + grad matvecs + conditional unrolled rebuild) is what
+#: the remote TPU compiler rejects (HTTP 500 at n=50k f32, BASELINE.md
+#: round 4). The fori sweeps cost one small per-panel TRSM on a ~9-wide
+#: RHS — microseconds against the iteration's O(n^3) rebuild — for a
+#: program whose solve section no longer grows with capacity. The
+#: per-iteration fallback loop keeps the unrolled+cached solves (its
+#: programs are small enough).
+FUSED_SOLVES_FORI_THRESHOLD = 16384
+
+#: Optional second program-size lever: above this capacity the fused
+#: step's conditional REBUILD also switches to the constant-size fori
+#: factorizer (``None`` disables — the unrolled rebuild is FLOP-optimal
+#: and compiles alone at n=50k, so this only helps if the remote
+#: compiler still rejects the slimmed fused program; the fori rebuild
+#: costs ~3x the downdate MACs). bf16-storage states never switch (the
+#: fori factorizer has no storage mode); they keep the unrolled rebuild.
+FUSED_REBUILD_FORI_THRESHOLD: Optional[int] = None
+
+
+def _solves(state: GPState, rhs: Array, unroll=None) -> Array:
     """``K^-1 rhs`` via the blocked panel sweeps (reads bf16 factors
     natively; precomputes the per-iteration panel inverses so both sweeps
-    are pure GEMM)."""
+    are pure GEMM — unrolled path only; the fori path solves each
+    diagonal panel directly inside its constant-size body)."""
     from ..ops.blocked_solve import blocked_cho_solve, panel_inverses
 
     diag_inv = None
-    if state.l.dtype in (jnp.float32, jnp.bfloat16):
+    if state.l.dtype in (jnp.float32, jnp.bfloat16) and unroll is not False:
         diag_inv = panel_inverses(state.l)
-    return blocked_cho_solve(state.l, rhs, diag_inv=diag_inv)
+    return blocked_cho_solve(state.l, rhs, unroll=unroll, diag_inv=diag_inv)
 
 
 @partial(jax.jit, static_argnames=("scalable",))
@@ -101,12 +125,13 @@ def _grad_step_large(state: GPState, adam: AdamState, probes: Array, i,
 
 
 def _grad_step_large_impl(state: GPState, adam: AdamState, probes: Array, i,
-                          convergence_fraction, scalable: bool):
+                          convergence_fraction, scalable: bool,
+                          solve_unroll=None):
     from ..ops.streamed_matvec import streamed_grad_matvec
 
     with jax.named_scope("fit_large/solves"):
         rhs = jnp.concatenate([state.resid[:, None], probes], axis=1)
-        sol = _solves(state, rhs)
+        sol = _solves(state, rhs, unroll=solve_unroll)
         alpha, kinv_z = sol[:, 0], sol[:, 1:]
     with jax.named_scope("fit_large/grad_matvec"):
         v = jnp.concatenate([alpha[:, None], probes], axis=1)
@@ -174,8 +199,14 @@ def _fused_fit_step_body(l: Array, state: GPState, adam: AdamState,
     headline sizes (HTTP 500, reproduced twice at n=50k).
     """
     state = state.replace(l=l)
+    # constant-size solve programs above the threshold keep the fused
+    # step's total program inside what the remote compiler accepts
+    solve_unroll = (
+        False if state.capacity > FUSED_SOLVES_FORI_THRESHOLD else None
+    )
     adam2, kernel, noise, progress, _ = _grad_step_large_impl(
-        state, adam, probes, i, convergence_fraction, scalable
+        state, adam, probes, i, convergence_fraction, scalable,
+        solve_unroll=solve_unroll,
     )
     # pin the updated hyperparameters to the input dtypes: the
     # conditional's branches must agree exactly, and the gradient math
@@ -198,9 +229,17 @@ def _fused_fit_step_body(l: Array, state: GPState, adam: AdamState,
         progress, jnp.logical_and(jnp.logical_not(done), ok)
     )
 
+    rebuild_unroll = None
+    if (
+        FUSED_REBUILD_FORI_THRESHOLD is not None
+        and state.capacity > FUSED_REBUILD_FORI_THRESHOLD
+        and state.storage is None
+    ):
+        rebuild_unroll = False
+
     def apply_rebuild(st):
         st = st.replace(kernel=kernel, noise=noise)
-        st2, ok2 = rebuild_cholesky(st)
+        st2, ok2 = rebuild_cholesky(st, unroll=rebuild_unroll)
         return st2, jnp.asarray(ok2, bool)
 
     def keep(st):

@@ -285,7 +285,20 @@ def cholesky_append_padded(
     cap, d = x_pad.shape
     x_new = lax.dynamic_slice(x_pad, (n_old, jnp.zeros_like(n_old)), (k_new, d))
     c = cross_covariance_train_padded(kernel, x_pad, n_old, x_new, method=method)
-    s = solve_triangular(l_pad, c, lower=True)  # (cap, k) — zero in dead rows
+    from ..models.gp import auto_large_threshold
+
+    if cap > auto_large_threshold():
+        # the monolithic (cap, cap) TRSM is the op the remote TPU
+        # compiler rejects at frontier capacities (HTTP 500 at cap~50k —
+        # BASELINE.md round 4 "Incremental add_samples"); the blocked
+        # panel sweep is the same math with a compiler-friendly program
+        # (the identical sweep already compiles and runs at cap=50k in
+        # every predict path)
+        from .blocked_solve import blocked_solve_lower
+
+        s = blocked_solve_lower(l_pad, c)  # (cap, k) — zero in dead rows
+    else:
+        s = solve_triangular(l_pad, c, lower=True)  # (cap, k)
     k22 = cross_covariance(kernel, x_new, x_new, method=method)
     # analytic diagonal: see ops/covariance.train_covariance_padded
     kd = kernel_diag(kernel, x_new) + noise * noise
