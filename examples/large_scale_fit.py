@@ -21,13 +21,16 @@ Run on CPU (small n for a quick demo) or TPU (raise N):
     python examples/large_scale_fit.py
 """
 
+import os
+
 import numpy as np
 
 import friedrich_tpu as ft
 from friedrich_tpu import kernels
 from friedrich_tpu.utils.fitlog import FitLog
 
-N, D = 3000, 4
+# FRIEDRICH_EXAMPLE_N overrides the demo size (CI smokes use a tiny n)
+N, D = int(os.environ.get("FRIEDRICH_EXAMPLE_N", 3000)), 4
 
 rng = np.random.default_rng(0)
 x = rng.normal(size=(N, D)).astype(np.float32)

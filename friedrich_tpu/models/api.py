@@ -16,6 +16,7 @@ the only recompile boundary, amortized by the 1.5x policy).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -44,7 +45,42 @@ _posterior = jax.jit(core.posterior)
 _likelihood = jax.jit(core.likelihood)
 _lml = jax.jit(core.log_marginal_likelihood)
 _add_samples = jax.jit(core.add_samples_padded)
+#: Frontier variant: the state's buffers (factor, data) are DONATED so
+#: old and new factor never coexist — mandatory once 2 x cap^2 x itemsize
+#: exceeds HBM (measured: the non-donated append OOMs at cap~51k f32 on
+#: the 16 GB reference chip; it ran at cap~31k).
+_add_samples_donated = jax.jit(core.add_samples_padded, donate_argnums=(0,))
 _derive_weights = jax.jit(core.derive_weights)
+
+
+def _append_must_donate(state: core.GPState) -> bool:
+    """True when old + appended factor cannot coexist in device HBM
+    (plus ~20% headroom for the append's (cap, k) temporaries)."""
+    from .. import config
+
+    if jax.default_backend() == "cpu":
+        return False
+    factor_bytes = state.capacity ** 2 * state.l.dtype.itemsize
+    return 2 * factor_bytes > 0.85 * config.device_hbm_bytes()
+
+
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def _repair_failed_append(state: core.GPState, k: int) -> core.GPState:
+    """Undo a DONATED append whose validation failed: rows
+    [n-k, n) of the factor go back to the identity padding (the only
+    rows the append wrote; the backward sweep reads L[dead, live]^T, so
+    garbage there would poison live results) and the live count returns
+    to n-k. The appended x/resid rows become dead rows (masked
+    everywhere)."""
+    n_old = state.n - k
+    cap = state.capacity
+    rows = n_old + jnp.arange(k)[:, None]
+    cols = jnp.arange(cap)[None, :]
+    ident_rows = jnp.where(rows == cols, 1.0, 0.0).astype(state.l.dtype)
+    l_fixed = jax.lax.dynamic_update_slice(
+        state.l, ident_rows, (n_old, jnp.zeros_like(n_old))
+    )
+    return state.replace(l=l_fixed, n=n_old)
 
 
 class GaussianProcess:
@@ -308,6 +344,27 @@ class GaussianProcess:
                     "add_samples: refactorization with the new points "
                     "failed; consider setting `cholesky_epsilon` or "
                     "increasing the noise. The model was left unchanged."
+                )
+            self._state = new_state
+            return
+        if _append_must_donate(self._state):
+            # frontier capacities: two live factors (old + appended) exceed
+            # HBM — measured OOM at cap~51k f32 on the 16 GB chip — so the
+            # append consumes the state's buffers in place. The
+            # usable-after-failure contract survives because the append
+            # only WRITES rows [n, n+k): on a failed validation those rows
+            # are repaired back to the identity padding (O(k cap)) and the
+            # live count stays at n.
+            new_state = _add_samples_donated(
+                self._state, x_new, y_new.astype(self._state.resid.dtype)
+            )
+            if not bool(jnp.all(jnp.isfinite(jnp.diagonal(new_state.l)))):
+                self._state = _repair_failed_append(new_state, k)
+                raise CholeskyError(
+                    "add_samples: rank-update of the Cholesky factor "
+                    "failed (new points make the covariance non-PSD); "
+                    "consider setting `cholesky_epsilon` or increasing "
+                    "the noise. The model was left unchanged."
                 )
             self._state = new_state
             return

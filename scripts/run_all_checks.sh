@@ -30,6 +30,23 @@ JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py nuts \
     --gp-n 64 --chains 4 --warmup 20 --samples 20
 JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py fit \
     --backend streamed --n 512 --m 256 --max-iter 10
+echo "== example smokes (CPU, toy shapes) =="
+# every documented user-facing entry point runs at a tiny size so it
+# cannot bit-rot between rounds (VERDICT r4 weak #8)
+JAX_PLATFORMS=cpu timeout 600 python -c \
+    "from examples import bayesian_hyperparameters as m; m.main(n=24)"
+JAX_PLATFORMS=cpu timeout 600 python -c \
+    "from examples import bayesian_optimization as m; m.main(num_iters=3)"
+JAX_PLATFORMS=cpu timeout 600 python -c \
+    "from examples import distributed_gp as m; m.main(n=128)"
+JAX_PLATFORMS=cpu timeout 600 python -c \
+    "from examples import outofcore_gp as m; m.main(n=256, m=32)"
+JAX_PLATFORMS=cpu timeout 600 python -c \
+    "from examples import precision_modes as m; m.main(n=256, m=32)"
+JAX_PLATFORMS=cpu timeout 600 python -c \
+    "from examples import serving_deployment as m; m.main(n=64)"
+JAX_PLATFORMS=cpu FRIEDRICH_EXAMPLE_N=256 timeout 600 \
+    python examples/large_scale_fit.py
 echo "== TPU benchmark =="
 # first-process compiles of the n=50k programs take minutes over the
 # remote helper (timed numbers exclude compile; the persistent cache

@@ -99,6 +99,80 @@ def test_append_blocked_equals_retrain():
     )
 
 
+def test_donated_append_matches_default(monkeypatch):
+    """The frontier donated append (old + new factor cannot coexist in
+    HBM) must produce the same model as the default atomic path."""
+    import friedrich_tpu as ft
+    from friedrich_tpu.models import api as api_mod
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(64, 3))
+    y = np.sin(x[:, 0])
+    x_new = rng.normal(size=(8, 3))
+    y_new = np.sin(x_new[:, 0])
+    xq = rng.normal(size=(16, 3))
+
+    def build():
+        return ft.GaussianProcess.new(
+            fp.ConstantPrior(0.0), fk.SquaredExp(1.0, 1.0), 0.3, None,
+            x, y, capacity=128, backend="streamed",
+        )
+
+    gp_ref = build()
+    gp_ref.add_samples(x_new, y_new)
+    mean_ref, var_ref = gp_ref.predict_mean_variance(xq)
+
+    monkeypatch.setattr(api_mod, "_append_must_donate", lambda s: True)
+    gp_don = build()
+    gp_don.add_samples(x_new, y_new)
+    mean_don, var_don = gp_don.predict_mean_variance(xq)
+    np.testing.assert_allclose(
+        np.asarray(mean_don), np.asarray(mean_ref), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_don), np.asarray(var_ref), rtol=1e-10
+    )
+
+
+def test_donated_append_failure_leaves_model_usable(monkeypatch):
+    """A failed donated append must repair the factor's dead rows and
+    leave the model answering identically to before the attempt."""
+    import friedrich_tpu as ft
+    from friedrich_tpu.models import api as api_mod
+    from friedrich_tpu.utils.errors import CholeskyError
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(64, 3))
+    y = np.sin(x[:, 0])
+    xq = rng.normal(size=(16, 3))
+    gp = ft.GaussianProcess.new(
+        fp.ConstantPrior(0.0), fk.SquaredExp(1.0, 1.0), 0.0, None,
+        x, y, capacity=128, backend="streamed",
+    )
+    mean_before, var_before = gp.predict_mean_variance(xq)
+
+    monkeypatch.setattr(api_mod, "_append_must_donate", lambda s: True)
+    # duplicating existing points with zero noise makes the appended
+    # Schur complement singular -> rank-update fails
+    with pytest.raises(CholeskyError, match="left unchanged"):
+        gp.add_samples(x[:4], y[:4])
+    assert int(gp.state.n) == 64
+    mean_after, var_after = gp.predict_mean_variance(xq)
+    np.testing.assert_allclose(
+        np.asarray(mean_after), np.asarray(mean_before), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_after), np.asarray(var_before), rtol=1e-12
+    )
+    # and a GOOD append afterwards still works
+    x_new = rng.normal(size=(8, 3)) + 5.0
+    gp.add_samples(x_new, np.sin(x_new[:, 0]))
+    assert int(gp.state.n) == 72
+    m2, v2 = gp.predict_mean_variance(xq)
+    assert np.all(np.isfinite(np.asarray(m2)))
+    assert np.all(np.isfinite(np.asarray(v2)))
+
+
 def test_fori_density_matches_unrolled():
     """The constant-size fori streamed density (the cap>=8192 NUTS
     program shape) must agree with the unrolled density in value AND
