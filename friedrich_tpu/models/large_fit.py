@@ -239,7 +239,15 @@ def _fused_fit_step_body(l: Array, state: GPState, adam: AdamState,
 
     def apply_rebuild(st):
         st = st.replace(kernel=kernel, noise=noise)
-        st2, ok2 = rebuild_cholesky(st, unroll=rebuild_unroll)
+        # reuse_buffer threads the (traced) factor as the rebuild chain's
+        # workspace: the gradient solves above are its last reads, so XLA
+        # can alias the chain in place of the donated input buffer —
+        # without it the chain's result is a SECOND (cap, cap) temp,
+        # which exceeds HBM at n=50k f32 (measured round 5: the slimmed
+        # fused program compiled and then RESOURCE_EXHAUSTED)
+        st2, ok2 = rebuild_cholesky(
+            st, reuse_buffer=True, unroll=rebuild_unroll
+        )
         return st2, jnp.asarray(ok2, bool)
 
     def keep(st):
