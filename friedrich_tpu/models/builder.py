@@ -63,6 +63,7 @@ class GaussianProcessBuilder:
         # set_fit_subsample(None) restores the reference's per-iteration
         # full-rebuild flow at any size.
         self._fit_subsample = "auto"
+        self._fit_polish = False
         self._auto_subfit_notified = False
         self._fit_gradient = "auto"
 
@@ -221,6 +222,21 @@ class GaussianProcessBuilder:
         self._fit_subsample = subsample
         return self
 
+    def set_fit_polish(self, polish) -> "GaussianProcessBuilder":
+        """Exact-LML corrective pass after the sub-fit ADAM: ``True``
+        runs :func:`~friedrich_tpu.models.map_fit.polish_map` (a short
+        optax Adam on the exact LML) from the replicated ADAM's endpoint
+        before the full-n build — the designed remedy for the
+        multiplicative rule's early-stop/inflated-amplitude optimum
+        (``optimizer.rs:120-121``; BASELINE.md round-4 sensitivity
+        study). ``False`` (default) keeps the plain sub-fit. Only
+        applies to sub-fit flows (``set_fit_subsample``); the
+        reference-flow full fit is never polished (trajectory parity)."""
+        if not isinstance(polish, bool):
+            raise ConfigError(f"fit polish must be a bool, got {polish!r}")
+        self._fit_polish = polish
+        return self
+
     def set_fit_gradient(self, gradient: str) -> "GaussianProcessBuilder":
         """Gradient method for ``train()``'s fit: 'auto' (default — exact
         dense terms below the large-n threshold, streamed/Hutchinson
@@ -367,6 +383,16 @@ class GaussianProcessBuilder:
             max_time=self._max_time,
             gradient=self._fit_gradient,
         )
+        if self._fit_polish:
+            from .map_fit import polish_map
+
+            # short exact-LML corrective pass from the ADAM endpoint
+            # (see set_fit_polish); runs at the sub-model's size and
+            # precision, so its cost is subset-scale
+            sub_gp._state = polish_map(
+                sub_gp._state, precision=sub_precision,
+                max_time=self._max_time,
+            )
         return GaussianProcess.new(
             prior,
             sub_gp.kernel,

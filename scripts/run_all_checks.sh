@@ -24,6 +24,11 @@ JAX_PLATFORMS=cpu timeout 600 python scripts/check80k.py \
     --n 1024 --subsample 256 --m 256 --noise 0.5 --storage none
 JAX_PLATFORMS=cpu timeout 600 python scripts/check100k_outofcore.py \
     --n 2048 --block 512 --m 64
+JAX_PLATFORMS=cpu timeout 600 python scripts/check100k_fit.py \
+    --n 1024 --sub 256 --block 256 --m 64 --noise 0.5
+JAX_PLATFORMS=cpu timeout 600 python scripts/mapfit_study.py \
+    --n 1024 --sizes 256 --m 256 --max-iter 10 --map-steps 20 \
+    --polish-steps 5
 JAX_PLATFORMS=cpu timeout 600 python scripts/subsample_study.py \
     --n 1024 --sizes 128 256 --seeds 0 --m 256 --max-iter 10
 JAX_PLATFORMS=cpu timeout 600 python scripts/measure.py nuts \
