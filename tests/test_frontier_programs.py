@@ -197,6 +197,31 @@ def test_fori_density_matches_unrolled():
         np.testing.assert_allclose(g_f, g_u, rtol=1e-7, atol=1e-9)
 
 
+def test_fori_density_vmapped_chains():
+    """NUTS vmaps the density over chains — the fori program must match
+    the unrolled one under vmap + jit (value and gradient)."""
+    from friedrich_tpu.mcmc.logprob import (
+        initial_theta,
+        make_streamed_hyperparam_logprob,
+    )
+
+    state = _make_state(n=96, cap=128)
+    logp_u = make_streamed_hyperparam_logprob(state, unroll=True)
+    logp_f = make_streamed_hyperparam_logprob(state, unroll=False)
+    theta0 = initial_theta(state)
+    thetas = theta0[None, :] + jnp.asarray(
+        np.random.default_rng(7).normal(size=(4, theta0.shape[0])) * 0.2
+    )
+    v_u = jax.jit(jax.vmap(logp_u))(thetas)
+    v_f = jax.jit(jax.vmap(logp_f))(thetas)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_u), rtol=1e-9)
+    g_u = jax.jit(jax.vmap(jax.grad(logp_u)))(thetas)
+    g_f = jax.jit(jax.vmap(jax.grad(logp_f)))(thetas)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_u), rtol=1e-7, atol=1e-9
+    )
+
+
 def test_fori_density_auto_threshold():
     """unroll=None resolves by capacity against FORI_DENSITY_THRESHOLD."""
     from friedrich_tpu.mcmc import logprob as lp
