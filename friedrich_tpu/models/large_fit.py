@@ -337,6 +337,26 @@ def fit_kernel_noise_large(
                 "streamed" if state.capacity > auto_large_threshold()
                 else "dense"
             )
+        if resolved != "streamed" and jax.default_backend() != "cpu":
+            from .. import config as ftconfig
+
+            factor_bytes = state.capacity ** 2 * state.l.dtype.itemsize
+            if 2 * factor_bytes > 0.85 * ftconfig.device_hbm_bytes():
+                from ..utils.errors import ConfigError
+
+                # only the streamed backend donates the factor across
+                # fit iterations; every other backend's rebuild holds
+                # old + new factor, which cannot fit at this capacity —
+                # fail with the remedy instead of an opaque device OOM
+                # (measured: RESOURCE_EXHAUSTED at cap=50k f32 'hybrid')
+                raise ConfigError(
+                    f"hyperparameter fitting at capacity "
+                    f"{state.capacity} needs the 'streamed' backend "
+                    f"(two {factor_bytes / 2**30:.1f} GB factors cannot "
+                    f"coexist in device memory; streamed rebuilds donate "
+                    f"the factor buffer). Use set_backend('streamed') or "
+                    f"'auto'."
+                )
         step_fn = (
             _fused_fit_step_donate if resolved == "streamed"
             else _fused_fit_step_nodonate
