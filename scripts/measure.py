@@ -502,6 +502,22 @@ def exp_nuts(args):
             res = run(jax.random.PRNGKey(1))
             jax.block_until_ready(res.samples)
             t_run = time.perf_counter() - t1
+            # work sanity: a NUTS transition at depth d costs ~2^d - 1
+            # density+gradient evals; if the reported wall-clock implies
+            # a per-eval time far below one measured eval, the timing is
+            # a tunnel artifact (round-5 finding: an 81 t/s "result" at
+            # n=8192 implied 0.3 ms/eval where one eval measures 190 ms)
+            vg = jax.jit(jax.vmap(jax.value_and_grad(logp)))
+            th_probe = theta0[None, :] + 0.01 * jnp.ones((chains, theta0.shape[0]))
+            jax.block_until_ready(vg(th_probe))
+            t0p = time.perf_counter()
+            jax.block_until_ready(vg(th_probe))
+            eval_s = time.perf_counter() - t0p
+            depth_mean = float(jnp.mean(res.tree_depth))
+            expected_floor = (
+                (warm + num) * (2 ** depth_mean - 1) * eval_s * 0.25
+            )
+            suspect = t_run < expected_floor
             # effective rate: worst-parameter ESS over the post-warmup
             # draws, divided by the FULL run wall-clock (warmup included —
             # that is what a user pays for those effective samples)
@@ -519,8 +535,10 @@ def exp_nuts(args):
                 ess_min=round(ess_min, 1),
                 ess_per_sec=round(ess_min / t_run, 2),
                 rhat_max=round(rhat_max, 4),
-                mean_depth=round(float(jnp.mean(res.tree_depth)), 2),
+                mean_depth=round(depth_mean, 2),
                 div_rate=round(float(jnp.mean(res.divergent)), 4),
+                density_eval_s=round(eval_s, 4),
+                suspect_timing=bool(suspect),
             )
         except Exception as e:
             emit(exp="nuts_gp", chains=chains, error=str(e)[:300])
