@@ -494,6 +494,7 @@ def exp_nuts(args):
                     logp, theta0, key, num_warmup=warm, num_samples=num,
                     num_chains=c, max_depth=6,
                     chain_batch=args.chain_batch,
+                    scan_segment=args.scan_segment,
                 )
 
             res = run(jax.random.PRNGKey(0))
@@ -885,6 +886,10 @@ def main(argv=None):
     p.add_argument("--chain-batch", type=int, default=None,
                    help="run chains in sequential program launches of this "
                         "many vmapped chains (TPU-runtime width ceiling)")
+    p.add_argument("--scan-segment", type=int, default=None,
+                   help="transitions per device program (override the "
+                        "auto work-budget segmentation; smaller = safer "
+                        "against the TPU-runtime fault envelope)")
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--repeats", type=int, default=2)
