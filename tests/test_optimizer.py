@@ -170,6 +170,39 @@ def test_map_fit_improves_exact_lml_and_beats_noise_recovery():
     assert abs(np.log(gp.noise) - np.log(0.1)) < np.log(2.0)
 
 
+def test_polish_map_escapes_early_stop_and_noops_at_optimum():
+    """polish_map (a) improves a deliberately early-stopped ADAM fit's
+    exact LML, (b) moves (almost) nothing from a converged MAP point."""
+    from friedrich_tpu.models.gp import log_marginal_likelihood
+    from friedrich_tpu.models.map_fit import fit_map, polish_map
+    from friedrich_tpu.models.optimizer import fit_kernel_noise
+
+    n = 60
+    x = np.sort(RNG.uniform(-3, 3, size=(n, 1)), axis=0)
+    d = np.abs(x - x.T)
+    k = 2.0 * np.exp(-(d**2) / (2 * 0.7**2)) + 0.1**2 * np.eye(n)
+    y = np.linalg.cholesky(k) @ RNG.normal(size=n)
+    gp = ft.GaussianProcess.new(
+        fp.ZeroPrior(), fk.SquaredExp(ls=1.0, ampl=1.0), 0.3, None, x, y
+    )
+    # a very loose convergence fraction forces the multiplicative rule
+    # to stop early (the inflated-amplitude failure mode in miniature)
+    early = fit_kernel_noise(
+        gp.state, max_iter=100, convergence_fraction=0.5
+    )
+    lml_early = float(log_marginal_likelihood(early))
+    polished = polish_map(early, num_steps=120, tol=1e-8)
+    lml_polished = float(log_marginal_likelihood(polished))
+    assert lml_polished > lml_early + 0.5, (lml_early, lml_polished)
+
+    # from a converged exact-LML optimum the polish is a near-no-op
+    at_opt = fit_map(gp.state, num_steps=400, tol=1e-9)
+    lml_opt = float(log_marginal_likelihood(at_opt))
+    repolished = polish_map(at_opt, num_steps=40, tol=1e-4)
+    lml_re = float(log_marginal_likelihood(repolished))
+    assert lml_re >= lml_opt - 0.5, (lml_opt, lml_re)
+
+
 def test_map_fit_composed_kernel():
     from friedrich_tpu.models.map_fit import fit_map
     from friedrich_tpu.models.gp import log_marginal_likelihood
