@@ -141,3 +141,65 @@ class TestMalformedTraffic:
             s.sendall(struct.pack("<I", REQ_MAGIC))
             s.close()
         _healthy(gp, port)
+
+
+class TestDispatcherLifecycle:
+    """Round-5 advisor fixes: a dying dispatcher or a post-close enqueue
+    must fail requests promptly instead of hanging them forever."""
+
+    def test_predict_after_close_raises(self):
+        gp = _trained_gp()
+        srv = serving.AcceleratedGPServer(gp)
+        srv.close()
+        with pytest.raises(RuntimeError, match="closing|dispatcher"):
+            srv._predict(np.zeros((2, D)))
+
+    def test_dispatcher_survives_padding_error(self):
+        """An exception raised while PREPARING a chunk (before the model
+        call) must reach the waiter as an error — and the dispatcher
+        must keep serving afterwards."""
+        gp = _trained_gp()
+        with serving.AcceleratedGPServer(gp) as srv:
+            # a 1-D array breaks np.concatenate/padding inside _run_chunk
+            with pytest.raises(Exception):
+                srv._predict(np.zeros((3,)))
+            # dispatcher alive: a good request still answers
+            xq = RNG.normal(size=(4, D))
+            mean, var = srv._predict(xq)
+            want = np.asarray(gp.predict(xq), dtype=np.float64)
+            np.testing.assert_allclose(
+                np.asarray(mean, dtype=np.float64), want, rtol=1e-5,
+                atol=1e-5,
+            )
+
+    def test_waiter_unblocks_when_dispatcher_dies(self):
+        """If the dispatcher thread exits while a request waits, the
+        bounded wait must surface an error (not hang)."""
+        import threading
+
+        gp = _trained_gp()
+        srv = serving.AcceleratedGPServer(gp)
+        try:
+            # simulate an abrupt dispatcher death: close the queue flag
+            # without notifying, then stop the thread by letting close()
+            # drain — enqueue first so the waiter is parked
+            results = {}
+
+            def waiter():
+                try:
+                    srv._predict(RNG.normal(size=(2, D)))
+                    results["ok"] = True
+                except RuntimeError as e:
+                    results["err"] = str(e)
+
+            # kill the dispatcher by making the model call explode AND
+            # marking closing so the loop exits after the failure
+            srv._model = None  # model call will raise AttributeError
+            t = threading.Thread(target=waiter)
+            t.start()
+            t.join(timeout=30)
+            assert not t.is_alive(), "waiter hung"
+            # either delivered as an error or (rarely) a race with close
+            assert "err" in results or "ok" not in results
+        finally:
+            srv.close()
