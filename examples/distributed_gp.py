@@ -28,6 +28,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+from friedrich_tpu.config import honor_platform_env
+
+honor_platform_env()  # JAX_PLATFORMS=cpu must actually pin cpu (env alone is unreliable under plugin sitecustomize)
 import jax.numpy as jnp
 import numpy as np
 

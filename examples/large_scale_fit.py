@@ -22,8 +22,16 @@ Run on CPU (small n for a quick demo) or TPU (raise N):
 """
 
 import os
+import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from friedrich_tpu.config import honor_platform_env
+
+honor_platform_env()  # JAX_PLATFORMS=cpu must actually pin cpu
 
 import friedrich_tpu as ft
 from friedrich_tpu import kernels

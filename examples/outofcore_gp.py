@@ -28,6 +28,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from friedrich_tpu.config import honor_platform_env
+
+honor_platform_env()  # JAX_PLATFORMS=cpu must actually pin cpu
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -29,6 +29,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from friedrich_tpu.config import honor_platform_env
+
+honor_platform_env()  # JAX_PLATFORMS=cpu must actually pin cpu
+
 import numpy as np
 
 import friedrich_tpu as ft
