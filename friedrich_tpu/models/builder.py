@@ -226,12 +226,19 @@ class GaussianProcessBuilder:
         """Exact-LML corrective pass after the sub-fit ADAM: ``True``
         runs :func:`~friedrich_tpu.models.map_fit.polish_map` (a short
         optax Adam on the exact LML) from the replicated ADAM's endpoint
-        before the full-n build — the designed remedy for the
+        before the full-n build — the MEASURED remedy for the
         multiplicative rule's early-stop/inflated-amplitude optimum
-        (``optimizer.rs:120-121``; BASELINE.md round-4 sensitivity
-        study). ``False`` (default) keeps the plain sub-fit. Only
-        applies to sub-fit flows (``set_fit_subsample``); the
-        reference-flow full fit is never polished (trajectory parity)."""
+        (``optimizer.rs:120-121``): at n=16,384 the polish escaped that
+        optimum from every studied endpoint, correcting the full fit by
+        ~530 nats (ampl 2.95 -> 0.66) and good-region sub-fits by
+        ~25-100, at ~40 subset-scale density evals (BASELINE.md round-5
+        "early-stop remedy"). ``False`` (default) keeps the plain
+        sub-fit — the default subset size sits in the measured good
+        region, and the polish costs ~+4-8 s on the n=50k headline.
+        Only applies to sub-fit flows (``set_fit_subsample``); the
+        reference-flow full fit is never polished (trajectory parity —
+        call ``models.map_fit.polish_map`` on the state directly if you
+        want the correction there)."""
         if not isinstance(polish, bool):
             raise ConfigError(f"fit polish must be a bool, got {polish!r}")
         self._fit_polish = polish
