@@ -42,11 +42,9 @@ import numpy as np
 
 from friedrich_tpu.config import enable_compile_cache
 
-# persistent compile cache: first compiles of the unrolled panel programs
-# are minutes-long over the remote helper; the timed numbers below always
-# exclude compile (second run / post-warmup), the cache only shortens the
-# untimed warmup
-enable_compile_cache()
+# NOTE: enable_compile_cache() is called inside main() AFTER the
+# preflight — it reads jax.default_backend(), which initializes the
+# backend and hangs forever when the TPU tunnel is down.
 
 
 def bench_build_factor(n: int, d: int = 8, repeats: int = 3) -> float:
@@ -146,7 +144,46 @@ def _emit(metric: str, secs: float, n: int) -> None:
     )
 
 
+def _preflight(timeout_s: float = 300.0) -> None:
+    """Fail fast (non-zero exit) when the accelerator backend cannot
+    initialize — a dead TPU tunnel otherwise hangs ``jax.devices()``
+    indefinitely and the driver sees nothing at all (observed round 5:
+    multi-hour tunnel outage after a worker crash)."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        try:
+            info["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            info["error"] = e
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench preflight: backend init did not complete in "
+            f"{timeout_s:.0f}s (TPU tunnel down?) — aborting instead of "
+            f"hanging",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    if "error" in info:
+        print(f"bench preflight: backend init failed: {info['error']}",
+              file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main() -> None:
+    _preflight()
+    # persistent compile cache: first compiles of the unrolled panel
+    # programs are minutes-long over the remote helper; the timed numbers
+    # below always exclude compile (second run / post-warmup), the cache
+    # only shortens the untimed warmup
+    enable_compile_cache()
     # the remote TPU compile helper fails intermittently (HTTP 500) on big
     # loop programs — retry the headline size once before downsizing
     secs = None
