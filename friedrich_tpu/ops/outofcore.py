@@ -140,8 +140,21 @@ def outofcore_cholesky_factor(
     noise_arr = jnp.asarray(noise, jnp.float32)
     x_dev = jax.device_put(x_pad)
 
+    import os
+    import sys
+    import time as _time
+
+    progress = bool(os.environ.get("FRIEDRICH_OOC_PROGRESS"))
+    t_start = _time.perf_counter()
     ok = True
     for j in range(num_panels):
+        if progress:
+            print(
+                f"[ooc] panel {j + 1}/{num_panels} "
+                f"t={_time.perf_counter() - t_start:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
         j0 = jnp.asarray(j * block, jnp.int32)
         s = _strip_build(
             leaves, treedef, x_dev, j0, n_arr, noise_arr, block, method
